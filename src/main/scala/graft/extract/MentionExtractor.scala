@@ -1,0 +1,157 @@
+package graft.extract
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Dataset
+
+import graft.schema.{Mention, Statement, Turn}
+
+/**
+ * Per-turn mention + reified-statement extraction — the TA1 analog
+ * (the reference assumes AIF from TA1 pre-exists, README.md:8; this
+ * stage produces what the reference's json-heads carry:
+ * update_kg/Updater.py:302-345).
+ *
+ * Realized as ONE typed flatMap (`Dataset[Turn] → Dataset[TurnKEs]`),
+ * the single genuinely-custom operator called out in SURVEY.md §2.9:
+ * pattern matching over token streams is not expressible in Column
+ * algebra. Everything downstream is Column/DataFrame work. The
+ * flatMap is embarrassingly parallel (no shuffle, no driver state);
+ * per-turn failures are captured into an error side-channel rather
+ * than failing the job (reference fail.log semantics,
+ * json_head/get_json_head.py:96-110 — S6 in SURVEY.md §2.1).
+ */
+object MentionExtractor {
+
+  /** All KEs of one turn, plus failure lineage. */
+  final case class TurnKEs(
+      mentions: Seq[Mention],
+      statements: Seq[Statement],
+      error: String)
+
+  def md5(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private final case class Tok(raw: String, clean: String, start: Int, end: Int)
+  private final case class Span(tokens: List[Tok], etype: String) {
+    def start: Int = tokens.head.start
+    def end: Int = tokens.last.end
+    def name: String = tokens.map(_.clean).mkString(" ")
+  }
+
+  private val capTok = "^[A-Z][a-zA-Z.\\-]*$".r.pattern
+
+  private def tokenize(text: String): Array[Tok] = {
+    val out = Array.newBuilder[Tok]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && text.charAt(i) == ' ') i += 1
+      val s = i
+      while (i < n && text.charAt(i) != ' ') i += 1
+      if (i > s) {
+        val raw = text.substring(s, i)
+        var e = i
+        // strip trailing sentence punctuation from the token value but
+        // keep "F." person initials intact
+        var clean = raw
+        while (clean.nonEmpty && ",.;:!?".indexOf(clean.last) >= 0 &&
+          !(clean.length == 2 && clean.head.isUpper && clean.last == '.'))
+          { clean = clean.dropRight(1); e -= 1 }
+        if (clean.nonEmpty) out += Tok(raw, clean, s, e)
+      }
+    }
+    out.result()
+  }
+
+  private def isCap(t: Tok): Boolean =
+    t.clean != "I" && capTok.matcher(t.clean).matches()
+
+  /** Maximal runs of capitalized tokens → typed spans. */
+  private def spans(toks: Array[Tok]): List[Span] = {
+    val out = List.newBuilder[Span]
+    var i = 0
+    while (i < toks.length) {
+      if (isCap(toks(i))) {
+        val s = i
+        while (i < toks.length && isCap(toks(i))) i += 1
+        val run = toks.slice(s, i).toList
+        out += Span(run, Lexicon.classify(run.map(_.clean)))
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** Deterministic pseudo-confidence in [0.75, 1.0) — replaces the
+    * reference's store-supplied confidences with a content hash
+    * (determinism requirement, SURVEY.md §7.4). */
+  private def conf(key: String): Double =
+    0.75 + (Math.floorMod(key.hashCode.toLong, 25L)) / 100.0
+
+  def extractTurn(t: Turn): TurnKEs = {
+    try {
+      if (t.role == "tool" || t.text == null || t.text.isEmpty)
+        return TurnKEs(Nil, Nil, null)
+      val toks = tokenize(t.text)
+      val sp = spans(toks)
+      val mentions = sp.map { s =>
+        val norm = s.name.toLowerCase
+        val id = md5(s"${t.conv_id}|${t.turn_idx}|${s.start}|${s.end}|${s.name}")
+        Mention(id, t.conv_id, t.turn_idx, "entity", s.etype, s.name, norm,
+          s.start, s.end, conf(id), Lexicon.kbDict.getOrElse(norm, null))
+      }.toVector
+      // trigger detection between consecutive spans: S1 <verb|phrase> S2
+      val stmts = List.newBuilder[Statement]
+      val spArr = sp.toArray
+      val tokIdx = toks.zipWithIndex.toMap
+      def tokPos(tk: Tok): Int = tokIdx(tk)
+      var k = 0
+      while (k + 1 < spArr.length) {
+        val s1 = spArr(k); val s2 = spArr(k + 1)
+        val between = toks.slice(tokPos(s1.tokens.last) + 1, tokPos(s2.tokens.head))
+          .map(_.clean.toLowerCase)
+        val verb: Option[String] = between match {
+          case Array(v) if Lexicon.triggers.contains(v) => Some(v)
+          case Array(a, b) if Lexicon.phraseTriggers.contains(s"$a $b") =>
+            Some(Lexicon.phraseTriggers(s"$a $b"))
+          case _ => None
+        }
+        verb.foreach { v =>
+          val pred = Lexicon.triggers(v)._1
+          val m1 = mentions(k); val m2 = mentions(k + 1)
+          stmts += Statement(
+            md5(s"${t.conv_id}|${t.turn_idx}|$pred|${m1.mention_id}|${m2.mention_id}"),
+            m1.mention_id, pred, m2.mention_id, conf(pred + m1.mention_id),
+            t.conv_id, t.turn_idx, s1.start, s2.end)
+          // optional place clause: ... S2 in S3(GPE)
+          if (k + 2 < spArr.length) {
+            val s3 = spArr(k + 2)
+            val mid = toks.slice(tokPos(s2.tokens.last) + 1, tokPos(s3.tokens.head))
+              .map(_.clean.toLowerCase)
+            if (mid.sameElements(Array("in")) && s3.etype == Lexicon.GPE) {
+              val m3 = mentions(k + 2)
+              stmts += Statement(
+                md5(s"${t.conv_id}|${t.turn_idx}|$pred.Place|${m1.mention_id}|${m3.mention_id}"),
+                m1.mention_id, pred + ".Place", m3.mention_id, conf(pred + m3.mention_id),
+                t.conv_id, t.turn_idx, s1.start, s3.end)
+            }
+          }
+        }
+        k += 1
+      }
+      TurnKEs(mentions, stmts.result(), null)
+    } catch {
+      case e: Exception =>
+        TurnKEs(Nil, Nil, s"${t.conv_id}/${t.turn_idx}: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+  }
+
+  /** Distributed extraction. Callers persist the result before
+    * fanning out to mentions/statements/errors. */
+  def extract(turns: Dataset[Turn]): Dataset[TurnKEs] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.map(extractTurn)
+  }
+}

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines over
+ * `documents(doc_id, text)`:
+ *
+ *  - exact: hash-groupBy keep-min-id (one shuffle on the hash, never
+ *    on raw text bytes);
+ *  - MinHash + LSH: shingle → K minhashes → B bands → bucket
+ *    self-join (candidate pairs only within equal band signatures —
+ *    the classic scale path, no O(n²) anywhere);
+ *  - SimHash: 64-bit sign-aggregated token-hash fingerprint; near-dup
+ *    = small Hamming distance within LSH buckets of bit-chunks;
+ *  - n-gram Jaccard: exact verification scoring for candidate pairs;
+ *  - embedding cosine near-dup: see Similarity.cosinePairs.
+ *
+ * All built-in expressions (transform/aggregate/xxhash64 — codegen'd);
+ * the only shuffles are groupBys/joins on compact hash keys.
+ */
+object Dedup {
+
+  /** Exact dedup: canonical doc per normalized-text hash (keep the
+    * minimal doc_id — deterministic). */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", xxhash64(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("fp"), col("n_copies"))
+
+  /** Character shingles (default k=5) of the normalized text —
+    * sliding window via sequence + substr, pure Column algebra. */
+  def shingles(text: Column, k: Int = 5): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(norm) - lit(k - 1), lit(1))),
+        i => norm.substr(i, lit(k))))
+  }
+
+  /** MinHash signatures: K permutations simulated by seeded xxhash64
+    * of each shingle; signature[i] = min over shingles. */
+  def minHashSignatures(docs: DataFrame, k: Int = 5, numHashes: Int = 16): DataFrame = {
+    val sh = explode(shingles(col("text"), k)).as("shingle")
+    val exploded = docs.select(col("doc_id"), sh)
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    exploded.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
+  }
+
+  /** LSH banding: near-dup candidate pairs = docs sharing ≥1 band of
+    * `rowsPerBand` consecutive minhashes. Bucket join on the band
+    * hash — distributed, no broadcast, no n². */
+  def minHashCandidates(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = 16 // matches minHashSignatures default
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      signatures.select(
+        col("doc_id"),
+        lit(b).as("band"),
+        xxhash64(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)
+          .cast("array<string>").cast("string"), lit(b)).as("bucket"))
+    }.reduce(_ unionByName _)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for (doc_a, doc_b) candidate
+    * pairs — the verification stage after LSH blocking. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 5): DataFrame = {
+    val shingled = docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    pairs
+      .join(shingled.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(shingled.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)))
+          .as("jaccard"))
+  }
+
+  /** SimHash: 64-bit fingerprint; bit j set iff the sum over tokens of
+    * sign(bit j of xxhash64(token)) is positive. Computed bit-parallel
+    * with aggregate() over the token array — no UDF. */
+  def simHash(docs: DataFrame): DataFrame = {
+    val tokens = split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), "\\s+")
+    val hashed = docs.select(col("doc_id"),
+      transform(filter(tokens, t => length(t) > 0), t => xxhash64(t)).as("th"))
+    val bitCols = (0 until 64).map { j =>
+      // per-doc vote for bit j: #tokens with bit set vs not
+      val votes = aggregate(col("th"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j)
+    }
+    hashed.select(col("doc_id"), bitCols.reduce(_ + _).as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4 × 16-bit chunks (any-equal ⇒
+    * candidate, guaranteeing recall for distance ≤ 3 by pigeonhole),
+    * verify with exact Hamming distance. */
+  def simHashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = (0 until 4).map { c =>
+      sims.select(col("doc_id"), col("simhash"), lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("key"))
+    }.reduce(_ unionByName _)
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming(col("a.simhash"), col("b.simhash")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxHamming)
+  }
+}

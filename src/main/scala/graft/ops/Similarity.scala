@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`), the
+ * privateData-vector analog (reference:
+ * /root/reference/update_kg/queries/get_merged_entity.sparql
+ * `?vector`; ELMo/PNASNET grounding embeddings).
+ *
+ * Baseline: brute-force cosine top-k (one scan + one top-k — correct
+ * at any scale, cost O(N·d) per query). Scale path: random-hyperplane
+ * LSH bucketing — queries only touch their bucket's rows. All dot
+ * products use built-in zip_with/aggregate (codegen, no UDF).
+ */
+object Similarity {
+
+  /** Cosine similarity between two array<float|double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, v) => s + v)
+    val na = sqrt(aggregate(a, lit(0.0d), (s, v) => s + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0d), (s, v) => s + v * v))
+    dot / (na * nb)
+  }
+
+  /** Brute-force cosine top-k against one query vector (driver-held,
+    * broadcast as a literal array). */
+  def bruteForceTopK(embeddings: DataFrame, query: Seq[Float], k: Int = 10): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    embeddings
+      .select(col("vec_id"),
+        round(cosine(col("embedding").cast("array<double>"), q), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane sign for LSH: sign of a
+    * seeded hash-derived weight, applied per dimension. nBits-bit
+    * bucket id per row. Seeded → stable across runs/parallelism. */
+  def lshBuckets(embeddings: DataFrame, nBits: Int = 8, seed: Int = 42): DataFrame = {
+    val bitCols = (0 until nBits).map { b =>
+      // hyperplane b: weight(dim i) = ±1 from xxhash64(b, i); dot > 0 → bit set
+      val proj = aggregate(
+        zip_with(col("embedding").cast("array<double>"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (v, i) => v * when(xxhash64(lit(seed), lit(b), i).bitwiseAND(1L) === 1L, 1.0d).otherwise(-1.0d)),
+        lit(0.0d), (s, v) => s + v)
+      when(proj > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << b)
+    }
+    embeddings.withColumn("bucket", bitCols.reduce(_ + _))
+  }
+
+  /** LSH-bucketed ANN: top-k within the query vector's bucket (falls
+    * back to global brute force only if the bucket is empty — callers
+    * widen nBits down for higher recall). */
+  def lshTopK(embeddings: DataFrame, query: Seq[Float], k: Int = 10, nBits: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bucketed = lshBuckets(embeddings, nBits)
+    val qDf = spark.createDataset(Seq((0L, query))).toDF("vec_id", "embedding")
+    val qBucket = lshBuckets(qDf, nBits).select(col("bucket")).head().getLong(0)
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    bucketed.filter(col("bucket") === qBucket)
+      .select(col("vec_id"),
+        round(cosine(col("embedding").cast("array<double>"), q), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** All-pairs near-duplicate detection by embedding cosine ≥ τ,
+    * LSH-blocked (pairs only within a bucket) — the embedding-cosine
+    * near-dup dedup operator. */
+  def cosinePairs(embeddings: DataFrame, threshold: Double = 0.95, nBits: Int = 6): DataFrame = {
+    val b = lshBuckets(embeddings, nBits).select(
+      col("vec_id"), col("embedding"), col("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.embedding").cast("array<double>"),
+          col("b.embedding").cast("array<double>")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Exact brute-force all-pairs cosine ≥ τ (oracle-checkable variant;
+    * O(n²) — small-table verification only). */
+  def cosinePairsExact(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.embedding").cast("array<double>"),
+          col("b.embedding").cast("array<double>")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

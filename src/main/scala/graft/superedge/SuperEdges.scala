@@ -1,0 +1,61 @@
+package graft.superedge
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.schema.{Membership, Prototype, Statement, SuperEdge, Triple}
+
+/**
+ * Cluster-level SuperEdge materialization — the reference's flagship
+ * output (/root/reference/update_kg/sparqls.py:457-496):
+ * statements ⋈ membership(subj) ⋈ membership(obj) → count per
+ * (subjProto, pred, objProto), confidence = 1 − 1/(2·count).
+ *
+ * Scale notes (SURVEY.md §2.3 J9): both membership joins key on
+ * mention_id, which is UNIQUE per membership row — the joins are 1:1
+ * and skew-free by construction; the hot-cluster skew lands on the
+ * groupBy, where Spark's partial (map-side) aggregation absorbs it.
+ * The final prototype-name joins are against the compact prototypes
+ * table and broadcast when small.
+ */
+object SuperEdges {
+
+  /** SuperEdge table over cluster ids. */
+  def superEdges(statements: Dataset[Statement], memberships: Dataset[Membership]): Dataset[SuperEdge] = {
+    val spark = statements.sparkSession
+    import spark.implicits._
+    val m = memberships.toDF()
+    val subjM = m.select(col("member_id").as("subj"), col("cluster_id").as("subj_proto"))
+    val objM = m.select(col("member_id").as("obj"), col("cluster_id").as("obj_proto"))
+    statements.toDF()
+      .join(subjM, "subj")
+      .join(objM, "obj")
+      .groupBy(col("subj_proto"), col("pred"), col("obj_proto"))
+      .agg(count(lit(1)).as("cnt"))
+      // reference confidence formula, update_kg/sparqls.py:479
+      .withColumn("conf", lit(1.0) - lit(1.0) / (lit(2.0) * col("cnt")))
+      .as[SuperEdge]
+  }
+
+  /** ID-insensitive corpus triples for golden P/R comparison:
+    * prototype canonical names instead of cluster ids (cluster ids
+    * are content hashes; the reference's are random —
+    * update_kg/Updater.py:156-158 — so parity is by content,
+    * SURVEY.md §5.1). */
+  def namedTriples(superEdges: Dataset[SuperEdge], prototypes: Dataset[Prototype]): Dataset[Triple] = {
+    val spark = superEdges.sparkSession
+    import spark.implicits._
+    // no forced broadcast: prototype cardinality = cluster count, which
+    // can exceed the broadcast threshold at contract scale — Catalyst +
+    // AQE pick broadcast automatically when the side is actually small
+    val names = prototypes.toDF().select(col("cluster_id"), col("name"))
+    superEdges.toDF()
+      .join(names.withColumnRenamed("cluster_id", "subj_proto")
+        .withColumnRenamed("name", "subj"), Seq("subj_proto"))
+      .join(names.withColumnRenamed("cluster_id", "obj_proto")
+        .withColumnRenamed("name", "obj"), Seq("obj_proto"))
+      .select(col("subj"), col("pred"), col("obj"))
+      .distinct()
+      .as[Triple]
+  }
+}
