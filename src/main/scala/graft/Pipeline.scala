@@ -48,8 +48,7 @@ object Pipeline {
     val statements = kes.flatMap(_.statements)
     val errors = kes.filter(_.error != null).select(col("error"))
 
-    val (surf0, edges) = Linker.matchEdges(mentions, linkCfg)
-    val surf = surf0.persist(StorageLevel.MEMORY_AND_DISK)
+    val (surf, edges) = Linker.matchEdges(mentions, linkCfg) // surf persisted inside
     val comp = ConnectedComponents.run(edges.toDF())
     val surfClusters = Canonicalizer
       .withKind(Canonicalizer.surfaceClusters(surf, comp))

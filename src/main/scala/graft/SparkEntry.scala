@@ -1,13 +1,292 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextStats}
+import graft.synth.TranscriptSynth
+
+/**
+ * Driver contract (see SURVEY.md §2 for the operator inventory each
+ * query exercises). Every SQL-expressible operator has a DuckDB
+ * oracle in [[oracleSql]] with IDENTICAL column names and value
+ * shapes; double-valued aggregates go through DECIMAL(18,4) partial
+ * terms or round() so both engines emit bit-equal values.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: end-to-end KG construction on a small deterministic
+    * transcript corpus → corpus-level superedge triples. */
+  def entry(spark: SparkSession): DataFrame = {
+    val cfg = TranscriptSynth.Config(nConvs = 80, turnsPerConv = 8)
+    val r = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = 8))
+    r.triples.toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregations (SURVEY §2.5) --------------------------------
+    "q_count_by_type" -> ((s, d) => // A1: count per KE type
+      t(s, d, "events").groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))),
+    "q_group_count" -> ((s, d) => // A2: members per cluster
+      t(s, d, "orders").groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))),
+    "q_argmax_per_group" -> ((s, d) => { // A3/W4: max-conf row per group
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").desc)
+      t(s, d, "events").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("user_id"), col("event_id"))
+    }),
+    "q_mode_tiebreak" -> ((s, d) => { // A5: mode with max tie-break
+      val c = t(s, d, "events").groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("cnt").desc, col("event_type").desc)
+      c.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"))
+    }),
+    "q_superedge_conf" -> ((s, d) => // A6+P12: count + 1-1/(2n)
+      t(s, d, "events").groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("conf", lit(1.0) - lit(1.0) / (lit(2.0) * col("cnt")))),
+    "q_avg_conf" -> ((s, d) => // A7: AVG via exact decimal terms
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg((sum(col("value").cast("decimal(18,4)")) /
+          count(lit(1))).cast("decimal(18,4)").cast("double").as("avg_value"))),
+    "q_count_distinct" -> ((s, d) => // A8
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("nusers"))),
+    "q_group_concat" -> ((s, d) => // A9: sorted distinct concat
+      t(s, d, "events").groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"))),
+    // ---- joins (SURVEY §2.3) ---------------------------------------
+    "q_join_chain" -> ((s, d) => { // J1: 4-way equi-join chain + agg
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+    "q_left_outer" -> ((s, d) => { // J2: OPTIONAL → left outer
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("o_orderkey"))
+    }),
+    "q_anti_join" -> ((s, d) => { // J5/J6: singleton synthesis shape
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+    }),
+    "q_union" -> ((s, d) => // J11: UNION of pattern alternatives
+      t(s, d, "orders").select(col("o_custkey").as("id"))
+        .union(t(s, d, "customer").select(col("c_custkey").as("id")))
+        .distinct()),
+    "q_two_hop" -> ((s, d) => { // J3: property-path (2-hop) join
+      val n = t(s, d, "nation"); val r = t(s, d, "region")
+      t(s, d, "customer")
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name"))
+    }),
+    // ---- projections / scalars (SURVEY §2.2) ------------------------
+    "q_distinct" -> ((s, d) => // P2
+      t(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()),
+    "q_suffix" -> ((s, d) => // P5: namespace-suffix extraction
+      t(s, d, "orders").select(col("o_orderkey"),
+        substring_index(col("o_orderpriority"), "-", -1).as("prio_word"))),
+    "q_prefix_bucket" -> ((s, d) => // P6: prefix predicate → bucket
+      t(s, d, "orders")
+        .select(when(col("o_orderpriority").startsWith("1-"), col("o_orderpriority"))
+          .otherwise(lit("others")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))),
+    "q_json_extract" -> ((s, d) => // P7: JSON payload extraction
+      t(s, d, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))),
+    "q_coalesce_pref" -> ((s, d) => // P8: preference coalesce
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), col("l_linestatus")).as("flag"))),
+    "q_substr_window" -> ((s, d) => // P14: context substring window
+      t(s, d, "documents").select(col("doc_id"),
+        concat(substring(col("text"), 1, 50), lit("...")).as("head"))),
+    "q_regex_clean" -> ((s, d) => // P4: regex rewrite/sanitize
+      t(s, d, "part").select(col("p_partkey"),
+        regexp_replace(lower(col("p_type")), "[^a-z0-9]+", "_").as("type_slug"))),
+    // ---- windows / sorts (SURVEY §2.6) -------------------------------
+    "q_topk" -> ((s, d) => // W1/W3: ranked report
+      t(s, d, "events").groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id").asc).limit(10)),
+    "q_stable_turn_order" -> ((s, d) => { // W5: stable per-conv ordering
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events").withColumn("turn_rank", row_number().over(w))
+        .filter(col("turn_rank") <= 3)
+        .select(col("user_id"), col("turn_rank"), col("event_id"))
+    }),
+    // ---- dedup / text / similarity ops -------------------------------
+    "q_dedup_exact" -> ((s, d) => // exact dedup via content hash
+      t(s, d, "documents").groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))),
+    "q_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"))),
+    "q_quality" -> ((s, d) => {
+      val text = col("text")
+      val nChars = length(text)
+      val nPunct = nChars - length(regexp_replace(text, "[.,;:!?]", ""))
+      val nUpper = nChars - length(regexp_replace(text, "[A-Z]", ""))
+      val nWords = size(split(trim(text), "\\s+"))
+      t(s, d, "documents").select(col("doc_id"), nChars.as("n_chars"),
+        round(nPunct.cast("double") / greatest(nChars, lit(1)), 4).as("punct_ratio"),
+        round(nUpper.cast("double") / greatest(nChars, lit(1)), 4).as("upper_ratio"),
+        round(nChars.cast("double") / greatest(nWords, lit(1)), 4).as("mean_word_len"))
+    }),
+    "q_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))),
+    "q_langid" -> ((s, d) => TextStats.langId(t(s, d, "documents"))),
+    "q_minhash_sigs" -> ((s, d) =>
+      Dedup.minHashSignatures(t(s, d, "documents")).select(col("doc_id"),
+        col("signature").cast("array<string>").cast("string").as("sig"))),
+    "q_simhash" -> ((s, d) => Dedup.simHash(t(s, d, "documents"))),
+    "q_ngram_jaccard" -> ((s, d) => { // consecutive-doc pair scoring
+      val docs = t(s, d, "documents")
+      val pairs = docs.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1).as("doc_b")) // inner joins drop missing doc_b
+      Dedup.ngramJaccard(docs, pairs)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+    "q_ann_topk" -> ((s, d) => { // brute-force cosine top-k
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.bruteForceTopK(e, q, 10)
+    }),
+    "q_cosine_pairs" -> ((s, d) => { // embedding near-dup (exact small-n)
+      Similarity.cosinePairsExact(
+        t(s, d, "embeddings").filter(col("vec_id") < 200), 0.30)
+    }),
+    // ---- the KG pipeline itself (non-SQL; golden-tested in ScalaTest)
+    "q_kg_triples" -> ((s, _) => {
+      val cfg = TranscriptSynth.Config(nConvs = 80, turnsPerConv = 8)
+      Pipeline.run(TranscriptSynth.turnsDs(s, cfg, partitions = 8)).triples.toDF()
+    }),
+    "q_kg_prototypes" -> ((s, _) => {
+      val cfg = TranscriptSynth.Config(nConvs = 60, turnsPerConv = 8)
+      Pipeline.run(TranscriptSynth.turnsDs(s, cfg, partitions = 8))
+        .prototypes.toDF().select(col("name"), col("etype"), col("n_members"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_count_by_type" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+    "q_group_count" ->
+      "SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey",
+    "q_argmax_per_group" ->
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+    "q_mode_tiebreak" ->
+      """SELECT user_id, event_type FROM (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type DESC) AS rn
+        |  FROM (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2) c) t
+        |WHERE rn = 1""".stripMargin,
+    "q_superedge_conf" ->
+      """SELECT user_id, event_type, count(*) AS cnt,
+        |       1.0 - 1.0/(2.0*count(*)) AS conf
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+    "q_avg_conf" ->
+      """SELECT event_type,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) / count(*) AS DECIMAL(18,4)) AS DOUBLE) AS avg_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_count_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS nusers FROM events GROUP BY event_type",
+    "q_group_concat" ->
+      """SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_join_chain" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_left_outer" ->
+      """SELECT c_custkey, o_orderkey FROM customer
+        |LEFT JOIN orders ON c_custkey = o_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_union" ->
+      "SELECT o_custkey AS id FROM orders UNION SELECT c_custkey AS id FROM customer",
+    "q_two_hop" ->
+      """SELECT c_custkey, r_name FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_suffix" ->
+      "SELECT o_orderkey, split_part(o_orderpriority, '-', 2) AS prio_word FROM orders",
+    "q_prefix_bucket" ->
+      """SELECT CASE WHEN o_orderpriority LIKE '1-%' THEN o_orderpriority ELSE 'others' END AS bucket,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
+    "q_coalesce_pref" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       coalesce(nullif(l_returnflag, 'N'), l_linestatus) AS flag
+        |FROM lineitem""".stripMargin,
+    "q_substr_window" ->
+      "SELECT doc_id, substr(text, 1, 50) || '...' AS head FROM documents",
+    "q_regex_clean" ->
+      """SELECT p_partkey, regexp_replace(lower(p_type), '[^a-z0-9]+', '_', 'g') AS type_slug
+        |FROM part""".stripMargin,
+    "q_topk" ->
+      """SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+        |ORDER BY cnt DESC, user_id ASC LIMIT 10""".stripMargin,
+    "q_stable_turn_order" ->
+      """SELECT user_id, turn_rank, event_id FROM (
+        |  SELECT user_id, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS turn_rank
+        |  FROM events) t WHERE turn_rank <= 3""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens
+        |FROM documents""".stripMargin,
+    "q_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0
+        |        / greatest(length(text), 1), 4) AS punct_ratio,
+        |  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0
+        |        / greatest(length(text), 1), 4) AS upper_ratio,
+        |  round(length(text) * 1.0
+        |        / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS mean_word_len
+        |FROM documents""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "q_ann_topk" ->
+      """SELECT vec_id,
+        |       round(list_cosine_similarity(embedding::DOUBLE[],
+        |             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS sim
+        |FROM embeddings ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 200)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+        |WHERE sim >= 0.30""".stripMargin
+  )
 }

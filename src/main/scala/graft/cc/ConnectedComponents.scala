@@ -1,21 +1,28 @@
 package graft.cc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /**
- * Connected components over a Dataset edge list via alternating
- * large-star / small-star contraction (the MapReduce CC algorithm of
- * Kiveris et al., "Connected Components in MapReduce and Beyond" —
- * the same family GraphFrames uses; GraphFrames itself is not on the
- * offline classpath, SURVEY.md §4.3.1).
+ * Connected components over a Dataset edge list via iterative
+ * min-label propagation (the GraphFrames-style driver loop called for
+ * in SURVEY.md §2.4/§4.3.1 — GraphFrames itself is not on the offline
+ * classpath).
  *
- * Converges in O(log²) rounds on adversarial graphs and 1-3 rounds on
- * the near-clique match graphs entity linking produces. Each round is
- * two shuffles; lineage is truncated per round with localCheckpoint
- * so plans don't grow unboundedly (driver-loop-over-Datasets pattern,
- * SURVEY.md §4.3).
+ * Each round: every vertex adopts the minimum component label among
+ * itself and its neighbors; convergence when no label changes.
+ * Rounds = graph diameter. Entity-resolution match graphs are unions
+ * of near-cliques (every alias pair of a family scores against the
+ * shared informative token), so diameter is small (≤ ~4) regardless of
+ * corpus size — label propagation converges in a handful of rounds
+ * where star-contraction's worst-case machinery isn't needed. Lineage
+ * is truncated every round with an eager localCheckpoint so the plan
+ * stays O(1) deep; `maxIter` bounds pathological inputs.
+ *
+ * Scale notes: per round, one shuffle join (edges ⋈ labels, both
+ * hash-partitioned on the join key and re-usable across rounds) and
+ * one min-aggregation. Skewed high-degree vertices are absorbed by
+ * partial aggregation of min() before the shuffle.
  *
  * Input:  edges(src: Long, dst: Long), undirected, self-loops ignored.
  * Output: (sid: Long, component: Long) for every vertex appearing in
@@ -29,64 +36,34 @@ object ConnectedComponents {
     e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-
-  /** large-star: connect every strictly-larger neighbor of u to
-    * m = min(Γ(u) ∪ {u}). */
-  private def largeStar(e: DataFrame): DataFrame = {
-    val nbrs = symmetric(e)
-    val mins = nbrs.groupBy(col("src"))
-      .agg(least(min(col("dst")), first(col("src"))).as("m"))
-    nbrs.join(mins, "src")
-      .filter(col("dst") > col("src"))
-      .select(col("dst").as("src"), col("m").as("dst"))
-      .filter(col("src") =!= col("dst"))
       .distinct()
-  }
 
-  /** small-star: connect every smaller-or-equal neighbor (and u) to
-    * m = min(Γ≤(u) ∪ {u}). */
-  private def smallStar(e: DataFrame): DataFrame = {
-    val nbrs = symmetric(e).filter(col("dst") < col("src"))
-    val mins = nbrs.groupBy(col("src")).agg(min(col("dst")).as("m"))
-    val moved = nbrs.join(mins, "src")
-      .select(col("dst").as("src"), col("m").as("dst"))
-    val self = mins.select(col("src"), col("m").as("dst"))
-    moved.union(self)
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-  }
-
-  private def signature(e: DataFrame): (Long, Long) = {
-    val row = e.agg(
-      count(lit(1)).as("c"),
-      coalesce(sum(xxhash64(col("src"), col("dst"))), lit(0L)).as("h"))
-      .head()
-    (row.getLong(0), row.getLong(1))
-  }
-
-  /** @return vertex → component-min assignment for all edge-covered
-    *         vertices. */
-  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val spark: SparkSession = edges.sparkSession
-    var e = edges.filter(col("src") =!= col("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var sig = signature(e)
-    var converged = false
+  def run(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    // localCheckpoint (not just persist): persist caches the DATA but
+    // the logical plan — the entire upstream linker DAG — would still
+    // be embedded in, and re-planned for, every iteration's job;
+    // checkpointing makes each round's plan O(1) regardless of how
+    // edges were produced
+    val sym = symmetric(edges).localCheckpoint(true)
+    var labels = sym.select(col("src").as("sid")).distinct()
+      .withColumn("component", col("sid"))
+      .localCheckpoint(true)
+    var changed = 1L
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val nextSig = signature(next)
-      e.unpersist(false)
-      e = next
-      converged = nextSig == sig
-      sig = nextSig
+    while (changed > 0 && iter < maxIter) {
+      val msgs = sym
+        .join(labels, sym("src") === labels("sid"))
+        .select(col("dst").as("sid"), col("component"))
+      val next = labels.unionByName(msgs)
+        .groupBy(col("sid"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), "sid")
+        .filter(col("n.component") =!= col("o.component"))
+        .count()
+      labels = next
       iter += 1
     }
-    // after convergence the edge set is a union of stars rooted at the
-    // component minimum; read off the assignment (root maps to itself)
-    val assign = symmetric(e).groupBy(col("src")).agg(min(col("dst")).as("component"))
-      .select(col("src").as("sid"),
-        least(col("component"), col("src")).as("component"))
-    assign
+    labels
   }
 }

@@ -38,8 +38,18 @@ object Lexicon {
 
   /** Organization-name suffixes → Organization classification. */
   val orgSuffixes: Set[String] =
-    Set("corp", "corporation", "inc", "llc", "ltd", "group", "agency",
-      "ministry", "bank", "university", "institute", "labs")
+    Set("corp", "corporation", "inc", "llc", "ltd", "limited", "group",
+      "grp", "agency", "ministry", "bank", "university", "institute",
+      "labs", "laboratories", "incorporated")
+
+  /** Suffix-synonym normalization (public abbreviation knowledge) —
+    * applied to norm_name so "Acme Corporation" and "Acme Corp" are
+    * one surface form. */
+  val suffixNorm: Map[String, String] = Map(
+    "corporation" -> "corp", "incorporated" -> "inc",
+    "limited" -> "ltd", "grp" -> "group", "laboratories" -> "labs")
+
+  def normToken(t: String): String = suffixNorm.getOrElse(t, t)
 
   /** Event/relation trigger verbs → (predicate, object etype hint).
     * The predicate vocabulary is ours (the reference inherits TA1's

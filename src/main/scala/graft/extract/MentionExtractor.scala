@@ -96,7 +96,8 @@ object MentionExtractor {
       val toks = tokenize(t.text)
       val sp = spans(toks)
       val mentions = sp.map { s =>
-        val norm = s.name.toLowerCase
+        val norm = s.name.toLowerCase.split(' ')
+          .map(Lexicon.normToken).mkString(" ")
         val id = md5(s"${t.conv_id}|${t.turn_idx}|${s.start}|${s.end}|${s.name}")
         Mention(id, t.conv_id, t.turn_idx, "entity", s.etype, s.name, norm,
           s.start, s.end, conf(id), Lexicon.kbDict.getOrElse(norm, null))

@@ -26,7 +26,7 @@ import graft.schema.{MatchEdge, Mention}
 object Linker {
 
   final case class Config(
-      threshold: Double = 0.45,
+      threshold: Double = 0.65,
       maxBlock: Int = 1000,
       minTokenLen: Int = 2)
 
@@ -51,29 +51,31 @@ object Linker {
     surf.join(ids, "skey")
   }
 
-  /** Per-surface weighted token vectors. Tokens carry IDF weights
-    * computed over the surface universe; single-letter initials
-    * ("j." → "j#i") and first letters of full tokens are emitted as
-    * pseudo-tokens so "J. Smith" ≈ "John Smith" without any special
-    * pair-time logic. */
+  /** Per-surface weighted token vectors over SORTED-CHAR-MULTISET
+    * keys ("cyberdyne" and its transposition typo "cybredyne" map to
+    * the same key — typo-invariant matching with no edit-distance
+    * pass), IDF-weighted over the surface universe. Anagram
+    * collisions between distinct real words are rare and additionally
+    * gated by the cosine threshold + etype blocking. */
   private[link] def tokenVectors(surf: DataFrame, cfg: Config): DataFrame = {
     val spark = surf.sparkSession
     import spark.implicits._
-    val raw = surf
+    val toks = surf
       .select($"sid", $"etype", explode(split($"norm_name", " ")).as("tok0"))
-      .withColumn("tok", regexp_replace($"tok0", "[^a-z0-9]", ""))
-      .filter(length($"tok") >= 1)
-    val real = raw.filter(length($"tok") >= cfg.minTokenLen)
-      .select($"sid", $"etype", $"tok", lit(1.0).as("scale"))
-    val initials = raw
-      .select($"sid", $"etype", concat(substring($"tok", 1, 1), lit("#i")).as("tok"),
-        lit(0.6).as("scale"))
-    val toks = real.unionByName(initials)
-      .groupBy($"sid", $"etype", $"tok").agg(max($"scale").as("scale"))
+      .withColumn("tokc", regexp_replace($"tok0", "[^a-z0-9]", ""))
+      .filter(length($"tokc") >= 1)
+      .select($"sid", $"etype",
+        // single-letter tokens ("j." initials) become distinguishing
+        // "i:<ch>" tokens — two different-initial abbreviations of the
+        // same last name must NOT have identical vectors
+        when(length($"tokc") >= cfg.minTokenLen,
+          concat(lit("s:"), array_join(array_sort(split($"tokc", "")), "")))
+          .otherwise(concat(lit("i:"), $"tokc")).as("tok"))
+      .distinct()
     val n = surf.count()
     val df = toks.groupBy($"tok").agg(countDistinct($"sid").as("df"))
     toks.join(df, "tok")
-      .withColumn("w", $"scale" * log(lit(1.0) + lit(n.toDouble) / $"df"))
+      .withColumn("w", log(lit(1.0) + lit(n.toDouble) / $"df"))
       .select($"sid", $"etype", $"tok", $"w")
   }
 
@@ -85,7 +87,7 @@ object Linker {
     val spark = surf.sparkSession
     import spark.implicits._
     val tokKeys = toks
-      .filter(length($"tok") >= cfg.minTokenLen && !$"tok".endsWith("#i"))
+      .filter($"tok".startsWith("s:")) // initial tokens don't block-match
       .select($"sid", concat_ws("", $"etype", $"tok").as("bkey"))
     val linkKeys = surf.filter($"link_target".isNotNull)
       .select($"sid", concat_ws("", $"etype", lit("L:"), $"link_target").as("bkey"))
@@ -114,15 +116,65 @@ object Linker {
       .select(col("sid1"), col("sid2"), (col("dot") / (col("n1") * col("n2"))).as("score"))
   }
 
-  /** Match edges: cosine ≥ threshold, or exact non-NIL link-target
-    * equality (the strong EDL signal — reference linkTarget feature). */
+  /** Abbreviation edges for persons: "J. Smith" ≡ "John Smith" iff
+    * the abbreviation keys (first-initial | rest-of-name) are equal
+    * AND at least one side is actually an initial form — two distinct
+    * full first names sharing an initial never merge this way. */
+  private[link] def abbrevPairs(surf: DataFrame): DataFrame = {
+    val spark = surf.sparkSession
+    import spark.implicits._
+    val first = regexp_replace(split($"norm_name", " ")(0), "[^a-z0-9]", "")
+    val rest = concat_ws(" ", slice(split($"norm_name", " "), 2, 1000))
+    val persons = surf
+      .filter($"etype" === lit(graft.extract.Lexicon.PER) &&
+        size(split($"norm_name", " ")) >= 2)
+      .select($"sid",
+        concat(substring(first, 1, 1), lit("|"), rest).as("akey"),
+        // sorted-char signature: typo variants of the same first name
+        // count as ONE expansion, not two
+        array_join(array_sort(split(first, "")), "").as("fkey"),
+        (length(first) === 1).as("isInitial"))
+    // ambiguity guard: an initial form attaches to a full form only
+    // when exactly ONE distinct full-name expansion exists for its key
+    // ("M. Smith" with both "Maria Smith" and "Marco Smith" present
+    // stays unresolved instead of chain-merging two real entities)
+    val fulls = persons.filter(!$"isInitial").select($"sid", $"akey", $"fkey")
+    val uniqueFulls = fulls.groupBy($"akey")
+      .agg(countDistinct($"fkey").as("nfull"), min($"sid").as("fsid"))
+      .filter($"nfull" === 1)
+    persons.filter($"isInitial").select($"sid", $"akey")
+      .join(uniqueFulls, "akey")
+      .filter($"sid" =!= $"fsid")
+      .select(least($"sid", $"fsid").as("sid1"), greatest($"sid", $"fsid").as("sid2"))
+  }
+
+  /** Match edges: cosine ≥ threshold, exact non-NIL link-target
+    * equality (the strong EDL signal — reference linkTarget feature),
+    * or person-abbreviation key equality. */
   def matchEdges(mentions: Dataset[Mention], cfg: Config = Config()): (DataFrame, Dataset[MatchEdge]) = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    val surf = surfaces(mentions)
-    val toks = tokenVectors(surf, cfg)
+    // persist the fan-out points: surf feeds 4 consumers and toks 4
+    // (pairs, both sides of the dot-product join, norms) — without
+    // this the surface lineage (incl. the id-assignment sort) re-runs
+    // once per consumer per action
+    val surf = surfaces(mentions).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = tokenVectors(surf, cfg).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = candidatePairs(surf, toks, cfg)
+    // suffix veto: "acme corp" vs "acme group" share a rare stem but
+    // denote different organizations — when both names end in a known
+    // (already synonym-normalized) org suffix and the suffixes differ,
+    // the pair can never match on cosine alone
+    val sufList = graft.extract.Lexicon.orgSuffixes.toSeq.map(graft.extract.Lexicon.normToken).distinct
+    def sufOf(c: org.apache.spark.sql.Column) = {
+      val last = element_at(split(c, " "), -1)
+      when(last.isin(sufList: _*), last)
+    }
+    val sufs = surf.select($"sid", sufOf($"norm_name").as("suf"))
     val scored = score(pairs, toks)
+      .join(sufs.withColumnRenamed("sid", "sid1").withColumnRenamed("suf", "suf1"), "sid1")
+      .join(sufs.withColumnRenamed("sid", "sid2").withColumnRenamed("suf", "suf2"), "sid2")
+      .filter($"suf1".isNull || $"suf2".isNull || $"suf1" === $"suf2")
     val linkPairs = {
       val l = surf.filter($"link_target".isNotNull)
         .select($"sid", $"etype", $"link_target")
@@ -134,6 +186,7 @@ object Linker {
     val edges = scored.filter($"score" >= cfg.threshold)
       .select($"sid1", $"sid2")
       .unionByName(linkPairs)
+      .unionByName(abbrevPairs(surf))
       .distinct()
       .select($"sid1".as("src"), $"sid2".as("dst"))
       .as[MatchEdge]

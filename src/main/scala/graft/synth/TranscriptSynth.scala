@@ -74,15 +74,17 @@ object TranscriptSynth {
     "Omni", "Gekko", "Prestige", "Helix", "Vortex", "Zenith", "Quantum",
     "Stellar", "Apex", "Nimbus", "Cascade", "Meridian")
   private val orgSufs = Array("Corp", "Group", "Inc", "Ltd", "Labs")
-  private val altSuf = Map("Corp" -> "Corporation", "Group" -> "Holdings",
-    "Inc" -> "Incorporated", "Ltd" -> "Limited", "Labs" -> "Institute")
+  private val altSuf = Map("Corp" -> "Corporation", "Group" -> "Grp",
+    "Inc" -> "Incorporated", "Ltd" -> "Limited", "Labs" -> "Laboratories")
 
   /** Canonical (most frequent) surface of a family — the expected
     * prototype name under the reference's mode-with-tiebreak rule
     * (update_kg/sparqls.py:302-341). */
   def canonical(cfg: Config, fam: Int): String =
     if (fam < cfg.nPersons)
-      firsts(fam % firsts.length) + " " + lasts((fam / firsts.length) % lasts.length)
+      // (first, last) unique for fam < 1280 and last names spread so
+      // no single last name owns a whole block of families
+      firsts(fam % firsts.length) + " " + lasts((fam * 7) % lasts.length)
     else if (fam < cfg.nPersons + cfg.nOrgs) {
       val o = fam - cfg.nPersons
       orgStems(o % orgStems.length) + " " + orgSufs((o / orgStems.length) % orgSufs.length)

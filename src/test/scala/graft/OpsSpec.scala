@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.DataFrame
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val d = docs(1L -> "hello  world", 2L -> "hello world", 3L -> "other doc")
+    val out = Dedup.exact(d).collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(0) == 1L) // keeps min doc_id
+  }
+
+  test("minhash LSH finds near-duplicates, not unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearDup = base.replace("today", "tonight")
+    val other = "completely unrelated content about spark catalyst optimizer internals"
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val sigs = Dedup.minHashSignatures(d)
+    val cand = Dedup.minHashCandidates(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+    assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)))
+  }
+
+  test("ngram jaccard: identical=1, disjoint=0") {
+    import spark.implicits._
+    val d = docs(1L -> "abcdefghij", 2L -> "abcdefghij", 3L -> "zzzzyyyyxxxx")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val j = Dedup.ngramJaccard(d, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming") {
+    val base = "spark sql catalyst tungsten codegen shuffle partition broadcast join agg"
+    val near = base + " extra"
+    val d = docs(1L -> base, 2L -> base, 3L -> near)
+    val sh = Dedup.simHash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) <= 8)
+    val pairs = Dedup.simHashPairs(Dedup.simHash(d), maxHamming = 8).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("cosine similarity and brute-force top-k") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.7071f, 0.7071f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(e, Seq(1.0f, 0.0f, 0.0f), 3).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(0L, 1L, 3L))
+    assert(top(0).getDouble(1) == 1.0)
+    assert(math.abs(top(2).getDouble(1) - 0.707107) < 1e-4)
+  }
+
+  test("LSH top-k returns the same head as brute force on clusterable data") {
+    import spark.implicits._
+    // two tight clusters along different axes
+    val rows = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.01f * i, 0f, 0f)
+      else Seq(0f, 0f, 1.0f, 0.01f * i)
+      (i.toLong, base)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val q = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val brute = Similarity.bruteForceTopK(e, q, 3).collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(e, q, 3, nBits = 2).collect().map(_.getLong(0)).toSet
+    assert(lsh == brute)
+  }
+
+  test("langid picks the stopword-dominant language") {
+    val d = spark.createDataFrame(Seq(
+      (1L, "the cat and the dog went to the market of the town"),
+      (2L, "der hund und die katze sind nicht der feind und die freunde"),
+      (3L, "le chat et la maison et les oiseaux dans le jardin"),
+      (4L, "el perro que ladra en los campos y una casa")))
+      .toDF("doc_id", "text")
+    val out = TextStats.langId(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es"))
+  }
+
+  test("token counts and quality features") {
+    val d = docs(1L -> "Hello, World! This is FINE.")
+    val tc = TextStats.tokenCounts(d).collect().head
+    assert(tc.getInt(1) == 5)
+    val q = TextStats.qualityScore(d).collect().head
+    assert(q.getInt(1) == 27) // n_chars
+    assert(q.getDouble(2) > 0) // punct_ratio
+  }
+
+  test("fingerprint is whitespace-insensitive") {
+    val d = docs(1L -> "a  b\tc", 2L -> "a b c")
+    // tabs: regex \s+ normalizes all whitespace runs
+    val fps = TextStats.fingerprints(d).collect().map(_.getLong(1)).toSet
+    assert(fps.size == 1)
+  }
+
+  test("multimodal feature extraction: deterministic stub, real plumbing") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 30)
+    assert(feats.forall(_.ok))
+    assert(feats.forall(f => f.embedding.length == Multimodal.EmbeddingDim))
+    // deterministic: same input → same features
+    val again = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 30)).collect()
+    assert(feats.map(_.embedding.toSeq).toSeq == again.map(_.embedding.toSeq).toSeq)
+    // frame sampling explodes video rows by duration
+    val frames = Multimodal.sampleFrames(media.toDF())
+    assert(frames.count() > media.filter(col("modality") === "video").count())
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.synth.TranscriptSynth
+
+/** Pipeline-level invariants (SURVEY.md §5.4): determinism,
+  * parallelism independence, clustering-is-a-partition. */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val cfg = TranscriptSynth.Config(nConvs = 120, turnsPerConv = 8)
+
+  test("two runs emit identical triple sets (determinism, SURVEY §7.4)") {
+    val t1 = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = 6))
+      .triples.collect().toSet
+    val t2 = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = 6))
+      .triples.collect().toSet
+    assert(t1 == t2)
+  }
+
+  test("triples independent of input partitioning (parallelism invariance)") {
+    val t1 = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = 3))
+      .triples.collect().toSet
+    val t2 = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = 16))
+      .triples.collect().toSet
+    assert(t1 == t2)
+  }
+
+  test("clustering is a partition: total and disjoint over mentions") {
+    val r = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = 6))
+    val nMentions = r.mentions.count()
+    val ms = r.memberships
+    assert(ms.count() == nMentions) // total incl. singletons
+    assert(ms.select("member_id").distinct().count() == nMentions) // disjoint
+    // every cluster has exactly one prototype row
+    assert(r.prototypes.select("cluster_id").distinct().count() ==
+      r.prototypes.count())
+  }
+}

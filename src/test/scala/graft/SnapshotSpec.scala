@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.snapshot.SnapshotStore
+
+class SnapshotSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("write/read round-trip with lineage counters") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap").toString
+    val store = new SnapshotStore(root)
+    val df = (1 to 100).toDF("v").repartition(4)
+    val id = store.write("stage_a", df)
+    assert(store.current("stage_a").contains(id))
+    val back = store.read(spark, "stage_a").get
+    assert(back.count() == 100)
+    val entry = store.manifestEntries().find(_.contains("stage_a")).get
+    assert(entry.contains("\"rows\":100"))
+    assert(entry.contains("\"pid\":"))
+  }
+
+  test("snapshots are immutable; re-write creates a child snapshot") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap").toString
+    val store = new SnapshotStore(root)
+    val id1 = store.write("s", (1 to 10).toDF("v"))
+    Thread.sleep(5)
+    val id2 = store.write("s", (1 to 20).toDF("v"))
+    assert(id2 > id1)
+    assert(store.read(spark, "s", Some(id1)).get.count() == 10) // time travel
+    assert(store.read(spark, "s").get.count() == 20)
+    val entries = store.manifestEntries().filter(_.contains("\"stage\":\"s\""))
+    assert(entries.exists(_.contains(s""""parent":$id1""")))
+  }
+
+  test("getOrCreate resumes instead of recomputing") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap").toString
+    val store = new SnapshotStore(root)
+    var computes = 0
+    def compute() = { computes += 1; (1 to 5).toDF("v") }
+    store.getOrCreate(spark, "x")(compute())
+    store.getOrCreate(spark, "x")(compute())
+    assert(computes == 1)
+  }
+}
