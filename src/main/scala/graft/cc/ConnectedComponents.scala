@@ -54,9 +54,21 @@ object ConnectedComponents {
       val msgs = sym
         .join(labels, sym("src") === labels("sid"))
         .select(col("dst").as("sid"), col("component"))
-      val next = labels.unionByName(msgs)
+      // checkpoint BEFORE the self-join below: self-joining the raw
+      // union+agg subtree trips Catalyst union-constraint rewriting
+      val prop = labels.unionByName(msgs)
         .groupBy(col("sid"))
         .agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      // pointer jumping: l(v) ← l(l(v)) — with the neighbor-min step
+      // this converges in O(log n) rounds even on path graphs, not
+      // O(diameter)
+      val propRight = prop
+        .select(col("sid").as("y_sid"), col("component").as("y_component"))
+      val next = prop
+        .join(propRight, col("component") === col("y_sid"), "left_outer")
+        .select(col("sid"),
+          coalesce(col("y_component"), col("component")).as("component"))
         .localCheckpoint(true)
       changed = next.as("n").join(labels.as("o"), "sid")
         .filter(col("n.component") =!= col("o.component"))

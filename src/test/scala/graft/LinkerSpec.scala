@@ -72,8 +72,10 @@ class LinkerSpec extends AnyFunSuite {
   }
 
   test("oversized blocks are dropped (hot-key cap)") {
-    // 30 surfaces sharing token "common" with maxBlock=10 → no pairs
-    val ms = (0 until 30).map(i => m(s"m$i", s"Common Name$i"))
+    // 26 surfaces sharing token "common" with maxBlock=10 → no pairs
+    // (second tokens chosen anagram-free: "name12"/"name21" would
+    // legitimately match on the sorted-char key)
+    val ms = (0 until 26).map(i => m(s"m$i", s"Common Alias${('a' + i).toChar}x"))
     import spark.implicits._
     val mentions = ms.toDS()
     val (surf, edges) = Linker.matchEdges(mentions, Linker.Config(maxBlock = 10))
