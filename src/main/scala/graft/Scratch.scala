@@ -15,10 +15,21 @@ object Scratch {
     r
   }
   def main(args: Array[String]): Unit = {
-    val spark = Sessions.local(4, "scratch")
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val nTurns = sys.env.getOrElse("SCRATCH_TURNS", "4000").toLong
+    val spark = Sessions.local(cores, "scratch")
     import spark.implicits._
-    val cfg = TranscriptSynth.Config(nConvs = 400, turnsPerConv = 10)
-    val turns = TranscriptSynth.turnsDs(spark, cfg, partitions = 8)
+    val cfg = TranscriptSynth.Config(nConvs = (nTurns / 10).toInt, turnsPerConv = 10)
+    val turns = TranscriptSynth.turnsDs(spark, cfg, partitions = cores * 2)
+    if (sys.env.get("SCRATCH_MODE").contains("bench")) {
+      val n = time("pipeline_end_to_end") {
+        Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = cores * 2))
+          .triples.count()
+      }
+      println(s"[scratch] triples=$n")
+      spark.stop()
+      return
+    }
     val kes = time("extract")(MentionExtractor.extract(turns).persist())
     val mentions = kes.flatMap(_.mentions).persist()
     println(s"[scratch] mentions=${time("mentions.count")(mentions.count())}")
@@ -41,13 +52,14 @@ object Scratch {
     println(s"[scratch] superedges=${se.count()}")
     val triples = time("triples")(SuperEdges.namedTriples(se, prototypes))
     val emitted = triples.collect().toSet
-    val golden = TranscriptSynth.goldenTriples(cfg)
-    val tp = (emitted intersect golden).size.toDouble
-    println(f"[scratch] emitted=${emitted.size} golden=${golden.size} " +
-      f"P=${tp / emitted.size}%.4f R=${tp / golden.size}%.4f")
-    // sample mismatches
-    (emitted -- golden).take(10).foreach(t => println(s"[scratch] FP: $t"))
-    (golden -- emitted).take(10).foreach(t => println(s"[scratch] FN: $t"))
+    if (nTurns <= 20000) {
+      val golden = TranscriptSynth.goldenTriples(cfg)
+      val tp = (emitted intersect golden).size.toDouble
+      println(f"[scratch] emitted=${emitted.size} golden=${golden.size} " +
+        f"P=${tp / emitted.size}%.4f R=${tp / golden.size}%.4f")
+      (emitted -- golden).take(10).foreach(t => println(s"[scratch] FP: $t"))
+      (golden -- emitted).take(10).foreach(t => println(s"[scratch] FN: $t"))
+    } else println(s"[scratch] emitted=${emitted.size}")
     spark.stop()
   }
 }

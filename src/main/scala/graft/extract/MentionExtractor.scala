@@ -29,9 +29,25 @@ object MentionExtractor {
       statements: Seq[Statement],
       error: String)
 
-  def md5(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+  private val mdLocal: ThreadLocal[MessageDigest] = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val hex = "0123456789abcdef".toCharArray
+
+  /** Hot-path md5 hex: thread-local digest, no per-byte formatting. */
+  def md5(s: String): String = {
+    val d = mdLocal.get()
+    d.reset()
+    val b = d.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      out(i * 2) = hex((b(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hex(b(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   private final case class Tok(raw: String, clean: String, start: Int, end: Int)
   private final case class Span(tokens: List[Tok], etype: String) {

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.canon.{Justifications, RelationClusters}
+import graft.schema.{Membership, Mention, Statement}
+import graft.sources.SideFormats
+
+class JustificationsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def m(id: String, conv: String, conf: Double, link: String = null): Mention =
+    Mention(id, conv, 0, "entity", "Person", "X", "x", 0, 1, conf, link)
+  private def mem(c: String, id: String) = Membership(c, id, 1.0)
+
+  test("A3 informative justification: max conf per (cluster, doc); tie → min member") {
+    import spark.implicits._
+    val mentions = Seq(
+      m("m1", "doc1", 0.8), m("m2", "doc1", 0.9), m("m3", "doc2", 0.7),
+      m("m4", "doc1", 0.9)).toDS()
+    val ms = Seq(mem("c1", "m1"), mem("c1", "m2"), mem("c1", "m3"), mem("c1", "m4")).toDS()
+    val ij = Justifications.informativeJustifications(ms, mentions).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(ij(("c1", "doc1")) == "m2") // 0.9 tie between m2/m4 → min id
+    assert(ij(("c1", "doc2")) == "m3")
+  }
+
+  test("A3 IRI-max variant matches reference SPARQL semantics") {
+    import spark.implicits._
+    val mentions = Seq(m("m1", "doc1", 0.99), m("m9", "doc1", 0.01)).toDS()
+    val ms = Seq(mem("c1", "m1"), mem("c1", "m9")).toDS()
+    val ij = Justifications.informativeJustificationsIriMax(ms, mentions).collect()
+    assert(ij.head.getString(2) == "m9") // max over the id STRING, not conf
+  }
+
+  test("A4 cluster links: max cv per (cluster, target), NILs excluded") {
+    import spark.implicits._
+    val mentions = Seq(
+      m("m1", "d", 0.5, "kb:A"), m("m2", "d", 0.9, "kb:A"),
+      m("m3", "d", 0.7, "kb:B"), m("m4", "d", 0.99, null)).toDS()
+    val ms = Seq("m1", "m2", "m3", "m4").map(mem("c1", _)).toDS()
+    val links = Justifications.clusterLinks(ms, mentions).collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(links == Map("kb:A" -> 0.9, "kb:B" -> 0.7))
+  }
+
+  test("P9 dummy links are deterministic and unique per mention") {
+    import spark.implicits._
+    val mentions = Seq(m("m1", "d", 0.5), m("m2", "d", 0.5)).toDS().toDF()
+    val d1 = Justifications.withDummyLinks(mentions).collect()
+      .map(_.getAs[String]("link_target"))
+    val d2 = Justifications.withDummyLinks(mentions).collect()
+      .map(_.getAs[String]("link_target"))
+    assert(d1.forall(_.startsWith("DUMMY:")))
+    assert(d1.distinct.length == 2)
+    assert(d1.toSeq == d2.toSeq)
+  }
+
+  test("relation clustering: identical (pred, arg clusters) merge (§2.4)") {
+    import spark.implicits._
+    def st(id: String, s: String, o: String, p: String = "Rel") =
+      Statement(id, s, p, o, 0.9, "d", 0, 0, 1)
+    val ms = Seq(mem("cA", "a1"), mem("cA", "a2"), mem("cB", "b1"),
+      mem("cC", "c1")).toDS()
+    val stmts = Seq(
+      st("s1", "a1", "b1"), st("s2", "a2", "b1"), // same (pred, cA, cB)
+      st("s3", "a1", "c1"), // different obj cluster
+      st("s4", "a1", "b1", "Other")).toDS() // different pred
+    val rc = RelationClusters.cluster(stmts, ms).collect()
+    assert(rc.length == 3)
+    val merged = rc.find(_.getSeq[String](2).toSet == Set("s1", "s2"))
+    assert(merged.isDefined)
+    assert(merged.get.getLong(3) == 2)
+  }
+
+  test("jl cluster file round-trip (S8)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jl").toString + "/clusters.jl"
+    val ms = Seq(mem("c1", "m1"), mem("c1", "m2"), mem("c2", "m3")).toDS()
+    SideFormats.writeClustersJl(ms, dir)
+    val back = SideFormats.readClustersJl(spark, dir)
+    assert(back.count() == 3)
+    val sets = back.collect().groupBy(_.getString(0)).values
+      .map(_.map(_.getString(1)).toSet).toSet
+    assert(sets == Set(Set("m1", "m2"), Set("m3")))
+  }
+}

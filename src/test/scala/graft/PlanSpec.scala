@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that matter at 100 TB must be
+  * visible in explain() — predicate pushdown to the parquet scan,
+  * column pruning, broadcast choice for small dimensions. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters push down to the parquet scan") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") === 42L)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_orderkey"),
+      s"no pushdown in: $scan")
+  }
+
+  test("column pruning reaches the scan (ReadSchema only has selected cols)") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("l_orderkey") && scan.contains("l_quantity"))
+    assert(!scan.contains("l_extendedprice"), s"scan reads pruned col: $scan")
+  }
+
+  test("join chain broadcasts small dimension tables") {
+    val df = SparkEntry.queries("q_join_chain")(spark, dir)
+    df.collect() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in plan")
+  }
+
+  test("extraction stage plans no shuffle") {
+    import spark.implicits._
+    val turns = graft.synth.TranscriptSynth.turnsDs(spark,
+      graft.synth.TranscriptSynth.Config(nConvs = 5, turnsPerConv = 4))
+    val mentions = graft.extract.MentionExtractor.extract(turns).flatMap(_.mentions)
+    val plan = mentions.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in extraction: $plan")
+  }
+
+  test("superedge aggregation uses partial aggregation (map-side combine)") {
+    import spark.implicits._
+    val ms = Seq(graft.schema.Membership("c1", "m1", 1.0)).toDS()
+    val st = Seq(graft.schema.Statement("s1", "m1", "P", "m1", 0.9, "d", 0, 0, 1)).toDS()
+    val se = graft.superedge.SuperEdges.superEdges(st, ms)
+    val plan = se.queryExecution.executedPlan.toString
+    // two HashAggregates around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+}
