@@ -27,7 +27,6 @@ import graft.superedge.SuperEdges
 object Pipeline {
 
   final case class Result(
-      kes: Dataset[MentionExtractor.TurnKEs],
       mentions: Dataset[Mention],
       statements: Dataset[Statement],
       errors: DataFrame,
@@ -43,26 +42,46 @@ object Pipeline {
     val spark = turns.sparkSession
     import spark.implicits._
 
-    val kes = MentionExtractor.extract(turns).persist(StorageLevel.MEMORY_AND_DISK)
-    val mentions = kes.flatMap(_.mentions).persist(StorageLevel.MEMORY_AND_DISK)
-    val statements = kes.flatMap(_.statements)
-    val errors = kes.filter(_.error != null).select(col("error"))
+    // Stage boundaries are MATERIALIZED (eager localCheckpoint), not
+    // merely cached: persist keeps the full logical plan, so every
+    // downstream action re-analyzes/re-optimizes a tree that grows
+    // with each stage (profiling showed driver planning + nested
+    // encode/decode dominating, not data work). Checkpointing is also
+    // the in-session analog of the snapshot-per-stage design the
+    // reference's step-resumable pipeline implies (SURVEY.md §3.1,
+    // §4.3.5) — on a cluster these boundaries are SnapshotStore
+    // parquet snapshots.
+    // ONE extraction pass emitting a flat tagged row per KE; mentions/
+    // statements/errors are then carved out with columnar filter+
+    // project (no object round-trip, no second extraction pass, no
+    // nested Seq cache).
+    val ke = turns.flatMap { t =>
+      val k = MentionExtractor.extractTurn(t)
+      val ms = k.mentions.iterator.map(m => (1, m, null: Statement, null: String))
+      val ss = k.statements.iterator.map(s => (2, null: Mention, s, null: String))
+      val es = if (k.error != null) Iterator((3, null: Mention, null: Statement, k.error))
+               else Iterator.empty
+      (ms ++ ss ++ es).toSeq
+    }.toDF("tag", "m", "s", "error").localCheckpoint(true)
+    val mentions = ke.filter(col("tag") === 1).select(col("m.*")).as[Mention]
+    val statements = ke.filter(col("tag") === 2).select(col("s.*")).as[Statement]
+    val errors = ke.filter(col("tag") === 3).select(col("error"))
 
-    val (surf, edges) = Linker.matchEdges(mentions, linkCfg) // surf persisted inside
+    val (surf, edges) = Linker.matchEdges(mentions, linkCfg) // surf checkpointed inside
     val comp = ConnectedComponents.run(edges.toDF())
     val surfClusters = Canonicalizer
       .withKind(Canonicalizer.surfaceClusters(surf, comp))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     val memberships = Canonicalizer.memberships(mentions, surfClusters)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val prototypes = Canonicalizer.prototypes(mentions, surfClusters)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val superEdges = SuperEdges.superEdges(statements, memberships)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val triples = SuperEdges.namedTriples(superEdges, prototypes)
 
-    Result(kes, mentions, statements, errors, surf, comp, surfClusters,
+    Result(mentions, statements, errors, surf, comp, surfClusters,
       memberships, prototypes, superEdges, triples)
   }
 }

@@ -21,6 +21,28 @@ object Scratch {
     import spark.implicits._
     val cfg = TranscriptSynth.Config(nConvs = (nTurns / 10).toInt, turnsPerConv = 10)
     val turns = TranscriptSynth.turnsDs(spark, cfg, partitions = cores * 2)
+    if (sys.env.get("SCRATCH_MODE").contains("micro")) {
+      val n = 200000
+      time("synth_200k") { var i = 0L; while (i < n) { TranscriptSynth.turnAt(cfg, i); i += 1 } }
+      val ts = (0L until n.toLong).map(TranscriptSynth.turnAt(cfg, _)).toArray
+      time("extract_200k") { var i = 0; while (i < n) { MentionExtractor.extractTurn(ts(i)); i += 1 } }
+      time("extract_200k_2") { var i = 0; while (i < n) { MentionExtractor.extractTurn(ts(i)); i += 1 } }
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SCRATCH_MODE").contains("plan")) {
+      val r = Pipeline.run(TranscriptSynth.turnsDs(spark,
+        TranscriptSynth.Config(nConvs = 30, turnsPerConv = 8), partitions = 4))
+      for ((nm, df) <- Seq("memberships" -> r.memberships.toDF(),
+          "prototypes" -> r.prototypes.toDF(), "superEdges" -> r.superEdges.toDF(),
+          "triples" -> r.triples.toDF())) {
+        val p = df.queryExecution.executedPlan.toString
+        println(s"[scratch] == $nm joins: " + "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)".r
+          .findAllIn(p).toList.groupBy(identity).map { case (k, v) => s"$k x${v.size}" }.mkString(", "))
+      }
+      spark.stop()
+      return
+    }
     if (sys.env.get("SCRATCH_MODE").contains("bench")) {
       val n = time("pipeline_end_to_end") {
         Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = cores * 2))
@@ -30,10 +52,11 @@ object Scratch {
       spark.stop()
       return
     }
-    val kes = time("extract")(MentionExtractor.extract(turns).persist())
-    val mentions = kes.flatMap(_.mentions).persist()
+    val turnsP = turns.persist()
+    val mentions = turnsP.flatMap(t => MentionExtractor.extractTurn(t).mentions).persist()
     println(s"[scratch] mentions=${time("mentions.count")(mentions.count())}")
-    val statements = kes.flatMap(_.statements)
+    val statements = turnsP.flatMap(t => MentionExtractor.extractTurn(t).statements).persist()
+    println(s"[scratch] statements=${time("statements.count")(statements.count())}")
     val (surf0, edges) = Linker.matchEdges(mentions)
     val surf = surf0.persist()
     println(s"[scratch] surfaces=${time("surf.count")(surf.count())}")

@@ -7,10 +7,15 @@ import org.apache.spark.sql.SparkSession
   * runtime skew-splitting / shuffle coalescing. */
 object Sessions {
   def local(cores: Int, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
+    val builder0 = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+    // opt-in profiling: SPARK_GRAFT_EVENTLOG=/dir enables the event log
+    val spark = sys.env.get("SPARK_GRAFT_EVENTLOG")
+      .fold(builder0)(dir => builder0
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", dir))
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -20,6 +25,13 @@ object Sessions {
       // parallelize even when the input is a few MB
       .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
       .config("spark.sql.files.openCostInBytes", "65536")
+      // local-mode shuffle hygiene: many small shuffles × many tasks →
+      // file create/flush dominates on slow container disks. Spill to
+      // tmpfs when present and skip compressing tiny local blocks.
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-local" else "/tmp")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

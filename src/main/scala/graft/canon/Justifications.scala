@@ -32,7 +32,9 @@ object Justifications {
     * (deterministic). */
   def informativeJustifications(memberships: Dataset[Membership],
       mentions: Dataset[Mention]): DataFrame = {
-    val j = memberships.toDF()
+    // membership carries its own constant `conf`; keep only the keys so
+    // the mention-level conf is unambiguous
+    val j = memberships.toDF().select(col("cluster_id"), col("member_id"))
       .join(mentions.toDF().withColumnRenamed("mention_id", "member_id"), "member_id")
     val w = Window.partitionBy(col("cluster_id"), col("conv_id"))
       .orderBy(col("conf").desc, col("member_id").asc)
@@ -46,7 +48,7 @@ object Justifications {
     * string (update_kg/sparqls.py:258-268) — kept for parity tests. */
   def informativeJustificationsIriMax(memberships: Dataset[Membership],
       mentions: Dataset[Mention]): DataFrame = {
-    val j = memberships.toDF()
+    val j = memberships.toDF().select(col("cluster_id"), col("member_id"))
       .join(mentions.toDF().withColumnRenamed("mention_id", "member_id"), "member_id")
     j.groupBy(col("cluster_id"), col("conv_id"))
       .agg(max(col("member_id")).as("member_id"))
@@ -56,7 +58,7 @@ object Justifications {
     * excluded (DUMMY semantics). */
   def clusterLinks(memberships: Dataset[Membership],
       mentions: Dataset[Mention]): DataFrame =
-    memberships.toDF()
+    memberships.toDF().select(col("cluster_id"), col("member_id"))
       .join(mentions.toDF().withColumnRenamed("mention_id", "member_id"), "member_id")
       .filter(col("link_target").isNotNull)
       .groupBy(col("cluster_id"), col("link_target"))

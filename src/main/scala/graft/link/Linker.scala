@@ -154,12 +154,13 @@ object Linker {
   def matchEdges(mentions: Dataset[Mention], cfg: Config = Config()): (DataFrame, Dataset[MatchEdge]) = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    // persist the fan-out points: surf feeds 4 consumers and toks 4
-    // (pairs, both sides of the dot-product join, norms) — without
-    // this the surface lineage (incl. the id-assignment sort) re-runs
-    // once per consumer per action
-    val surf = surfaces(mentions).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val toks = tokenVectors(surf, cfg).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // checkpoint the fan-out points: surf feeds 4 consumers and toks 4
+    // (pairs, both sides of the dot-product join, norms). Eager
+    // localCheckpoint (not persist) both reuses the data AND truncates
+    // the plan, so downstream actions don't re-optimize the whole
+    // extraction+id-assignment tree each time.
+    val surf = surfaces(mentions).localCheckpoint(true)
+    val toks = tokenVectors(surf, cfg).localCheckpoint(true)
     val pairs = candidatePairs(surf, toks, cfg)
     // suffix veto: "acme corp" vs "acme group" share a rare stem but
     // denote different organizations — when both names end in a known
