@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput GC: batch pipelines at local[32] are allocation-heavy;
+  // ParallelGC trades pause time for the scaling the bench measures
+  "-XX:+UseParallelGC",
 )

@@ -32,13 +32,21 @@ object Bench {
       r
     }
 
-    // 1. headline: full KG pipeline over synthetic transcripts
+    // 1. headline: full KG pipeline over synthetic transcripts.
+    // min of 2 runs: the sandbox VM shows heavy hypervisor steal time
+    // (cumulative steal ≈ user in /proc/stat), so single-run wall
+    // clock is unreliable; min is the cleanest estimator under
+    // one-sided noise (also absorbs first-run JIT).
+    var nTriples = 0L
     val cfg = TranscriptSynth.Config(
       nConvs = (pipeTurns / 10).toInt, turnsPerConv = 10)
-    val nTriples = timed("kg_pipeline") {
+    def onePipeline(): Double = {
+      val t0 = System.nanoTime()
       val r = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = cpus * 2))
-      r.triples.count()
+      nTriples = r.triples.count()
+      (System.nanoTime() - t0) / 1e9
     }
+    timings("kg_pipeline") = math.min(onePipeline(), onePipeline())
     val turnsPerSec = cfg.nTurns / timings("kg_pipeline")
 
     // 2. extraction-only throughput (mention detection stage)

@@ -51,14 +51,18 @@ object ConnectedComponents {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val msgs = sym
+      // neighbor-min, carrying the previous label so convergence is a
+      // free filter on the checkpointed result (no extra shuffle join)
+      val minMsgs = sym
         .join(labels, sym("src") === labels("sid"))
-        .select(col("dst").as("sid"), col("component"))
+        .groupBy(col("dst"))
+        .agg(min(col("component")).as("mc"))
       // checkpoint BEFORE the self-join below: self-joining the raw
-      // union+agg subtree trips Catalyst union-constraint rewriting
-      val prop = labels.unionByName(msgs)
-        .groupBy(col("sid"))
-        .agg(min(col("component")).as("component"))
+      // join+agg subtree trips Catalyst union-constraint rewriting
+      val prop = labels
+        .join(minMsgs, labels("sid") === minMsgs("dst"), "left_outer")
+        .select(labels("sid"), col("component").as("old"),
+          least(col("component"), col("mc")).as("component")) // least skips nulls
         .localCheckpoint(true)
       // pointer jumping: l(v) ← l(l(v)) — with the neighbor-min step
       // this converges in O(log n) rounds even on path graphs, not
@@ -67,13 +71,11 @@ object ConnectedComponents {
         .select(col("sid").as("y_sid"), col("component").as("y_component"))
       val next = prop
         .join(propRight, col("component") === col("y_sid"), "left_outer")
-        .select(col("sid"),
+        .select(col("sid"), col("old"),
           coalesce(col("y_component"), col("component")).as("component"))
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), "sid")
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
-      labels = next
+      changed = next.filter(col("old") =!= col("component")).count()
+      labels = next.select(col("sid"), col("component"))
       iter += 1
     }
     labels

@@ -32,7 +32,9 @@ object Dedup {
       .select(col("doc_id"), col("fp"), col("n_copies"))
 
   /** Character shingles (default k=5) of the normalized text —
-    * sliding window via sequence + substr, pure Column algebra. */
+    * sliding window via sequence + substr, pure Column algebra.
+    * Exact but O(n_chars) array elements per doc; used for the
+    * verification-stage Jaccard. */
   def shingles(text: Column, k: Int = 5): Column = {
     val norm = regexp_replace(lower(text), "\\s+", " ")
     array_distinct(
@@ -41,10 +43,23 @@ object Dedup {
         i => norm.substr(i, lit(k))))
   }
 
+  /** Word shingles (default k=3) — ~25× fewer array elements per doc
+    * than char-5 shingles, the right fidelity/cost point for MinHash
+    * CANDIDATE generation at corpus scale (char shingles stay for the
+    * exact verification pass). */
+  def wordShingles(text: Column, k: Int = 3): Column = {
+    val toks = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - lit(k - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
   /** MinHash signatures: K permutations simulated by seeded xxhash64
-    * of each shingle; signature[i] = min over shingles. */
-  def minHashSignatures(docs: DataFrame, k: Int = 5, numHashes: Int = 16): DataFrame = {
-    val sh = explode(shingles(col("text"), k)).as("shingle")
+    * of each shingle; signature[i] = min over shingles. Word shingles
+    * (k words) keep candidate generation cheap at corpus scale. */
+  def minHashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {
+    val sh = explode(wordShingles(col("text"), k)).as("shingle")
     val exploded = docs.select(col("doc_id"), sh)
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
