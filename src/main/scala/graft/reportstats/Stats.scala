@@ -85,4 +85,29 @@ object Stats {
     * df.observe-returned observation. */
   def withRowCounter(df: DataFrame, name: String): DataFrame =
     df.observe(name, count(lit(1)).as("rows"))
+
+  /** Graphviz dot source for the top-k superedge report — the
+    * reference's cluster graph renders (RPI_cluster_seedling_dot.py,
+    * dot_utils.py:37-45). Driver-side formatting over a collected
+    * top-k, like the reference; label wrap at `wrap` chars
+    * (utils.py:60-71 analog). */
+  def dotGraph(report: DataFrame, topK: Int = 50, wrap: Int = 24): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def wrapLabel(s: String): String =
+      s.split(' ').foldLeft(List("")) { (acc, w) =>
+        if (acc.head.isEmpty) w :: acc.tail
+        else if (acc.head.length + 1 + w.length <= wrap) (acc.head + " " + w) :: acc.tail
+        else w :: acc
+      }.reverse.mkString("\\n")
+    val rows = report.limit(topK).collect()
+    val sb = new StringBuilder("digraph kg {\n  rankdir=LR;\n  node [shape=box];\n")
+    rows.foreach { r =>
+      val s = esc(wrapLabel(r.getAs[String]("subj_name")))
+      val o = esc(wrapLabel(r.getAs[String]("obj_name")))
+      val p = esc(r.getAs[String]("pred"))
+      val cnt = r.getAs[Long]("cnt")
+      sb.append(s"""  "$s" -> "$o" [label="$p (x$cnt)"];\n""")
+    }
+    sb.append("}\n").toString
+  }
 }

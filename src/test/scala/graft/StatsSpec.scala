@@ -35,5 +35,9 @@ class StatsSpec extends AnyFunSuite {
 
     val docs = Stats.subjectDocuments(r.triples).collect()
     assert(docs.length == r.triples.select("subj").distinct().count())
+
+    val dot = Stats.dotGraph(Stats.superEdgeReport(r.superEdges, r.prototypes), topK = 10)
+    assert(dot.startsWith("digraph kg {"))
+    assert(dot.linesIterator.count(_.contains("->")) == 10)
   }
 }
