@@ -43,12 +43,19 @@ object Main {
     } else spark.read.parquet(input).as[Turn]
   }
 
-  /** Run all stages through the store; returns the triple count. */
+  /** Run all stages through the store; returns the triple count.
+    * `inputId` identifies the input corpus; together with the linker
+    * config it forms each stage's snapshot fingerprint, so a rerun
+    * with a different input or threshold recomputes instead of
+    * resuming stale snapshots. */
   def runResumable(spark: SparkSession, turns: Dataset[Turn],
-      store: SnapshotStore, linkCfg: Linker.Config = Linker.Config()): Long = {
+      store: SnapshotStore, linkCfg: Linker.Config = Linker.Config(),
+      inputId: String = ""): Long = {
     import spark.implicits._
+    val fp = s"input=$inputId|threshold=${linkCfg.threshold}" +
+      s"|maxBlock=${linkCfg.maxBlock}|minTokenLen=${linkCfg.minTokenLen}"
 
-    val ke = store.getOrCreate(spark, "ke") {
+    val ke = store.getOrCreate(spark, "ke", fp) {
       turns.flatMap { t =>
         val k = MentionExtractor.extractTurn(t)
         k.mentions.iterator.map(m => (1, m, null: Statement, null: String)).toSeq ++
@@ -59,24 +66,25 @@ object Main {
     val mentions = ke.filter(col("tag") === 1).select(col("m.*")).as[Mention]
     val statements = ke.filter(col("tag") === 2).select(col("s.*")).as[Statement]
 
-    val surf = store.getOrCreate(spark, "surfaces")(Linker.surfaces(mentions))
-    val edges = store.getOrCreate(spark, "match_edges") {
-      Linker.matchEdges(mentions, linkCfg)._2.toDF()
+    val surf = store.getOrCreate(spark, "surfaces", fp)(Linker.surfaces(mentions))
+    val edges = store.getOrCreate(spark, "match_edges", fp) {
+      // reuse the surfaces snapshot instead of recomputing it
+      Linker.matchEdgesFrom(surf, linkCfg).toDF()
     }
-    val comp = store.getOrCreate(spark, "components")(ConnectedComponents.run(edges))
-    val surfClusters = store.getOrCreate(spark, "surface_clusters") {
+    val comp = store.getOrCreate(spark, "components", fp)(ConnectedComponents.run(edges))
+    val surfClusters = store.getOrCreate(spark, "surface_clusters", fp) {
       Canonicalizer.withKind(Canonicalizer.surfaceClusters(surf, comp))
     }
-    val memberships = store.getOrCreate(spark, "memberships") {
+    val memberships = store.getOrCreate(spark, "memberships", fp) {
       Canonicalizer.memberships(mentions, surfClusters).toDF()
     }.as[Membership]
-    val prototypes = store.getOrCreate(spark, "prototypes") {
+    val prototypes = store.getOrCreate(spark, "prototypes", fp) {
       Canonicalizer.prototypes(mentions, surfClusters).toDF()
     }.as[Prototype]
-    val superEdges = store.getOrCreate(spark, "superedges") {
+    val superEdges = store.getOrCreate(spark, "superedges", fp) {
       SuperEdges.superEdges(statements, memberships).toDF()
     }.as[SuperEdge]
-    val triples = store.getOrCreate(spark, "triples") {
+    val triples = store.getOrCreate(spark, "triples", fp) {
       SuperEdges.namedTriples(superEdges, prototypes).toDF()
     }
     triples.count()
@@ -95,7 +103,7 @@ object Main {
     val store = new SnapshotStore(output)
     val cfg = Linker.Config(threshold =
       opts.getOrElse("threshold", "0.65").toDouble)
-    val n = runResumable(session, loadTurns(session, input), store, cfg)
+    val n = runResumable(session, loadTurns(session, input), store, cfg, inputId = input)
     println(s"""{"triples":$n,"output":"$output","stages":${store.manifestEntries().size}}""")
   }
 }

@@ -30,25 +30,29 @@ object Linker {
       maxBlock: Int = 1000,
       minTokenLen: Int = 2)
 
-  /** Distinct surface forms with a dense, deterministic Long id.
-    * Output columns: sid, etype, norm_name, link_target, n_mentions.
-    * Ids are ranks in the global sort of the surface key — stable
+  /** Distinct surface forms with a deterministic Long id.
+    * Output columns: sid, etype, norm_name, link_target, n_mentions,
+    * skey. Ids are xxhash64 of the unambiguous surface key — a pure
+    * codegen projection (no global sort, no RDD round-trip), stable
     * across runs and parallelism levels (determinism contract,
-    * SURVEY.md §7.4). */
+    * SURVEY.md §7.4). The key joins its fields with \u0001 (escape) and maps a
+    * NULL link_target to a \u0002-escape sentinel, so distinct tuples never
+    * collide into one key and null stays distinct from "". 64-bit id
+    * collisions are vanishingly rare below ~10^9 distinct surfaces;
+    * [[matchEdges]] checks countDistinct(sid)==count(*) on the same
+    * job that computes the IDF corpus size and fails loudly rather
+    * than silently merging. */
   def surfaces(mentions: Dataset[Mention]): DataFrame = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    val surf = mentions.toDF()
+    mentions.toDF()
       .filter($"kind" === "entity")
       .groupBy($"etype", $"norm_name", $"link_target")
       .agg(count(lit(1)).as("n_mentions"))
       .withColumn("skey",
-        concat_ws("", $"etype", $"norm_name", coalesce($"link_target", lit(""))))
-    // global-sort rank → dense Long id (deterministic for distinct keys)
-    val ids = surf.select($"skey").as[String].rdd
-      .sortBy(identity).zipWithIndex()
-      .toDF("skey", "sid")
-    surf.join(ids, "skey")
+        concat_ws("\u0001", $"etype", $"norm_name",
+          coalesce($"link_target", lit("\u0002"))))
+      .withColumn("sid", xxhash64($"skey"))
   }
 
   /** Per-surface weighted token vectors over SORTED-CHAR-MULTISET
@@ -57,7 +61,8 @@ object Linker {
     * pass), IDF-weighted over the surface universe. Anagram
     * collisions between distinct real words are rare and additionally
     * gated by the cosine threshold + etype blocking. */
-  private[link] def tokenVectors(surf: DataFrame, cfg: Config): DataFrame = {
+  private[link] def tokenVectors(surf: DataFrame, cfg: Config,
+      nSurfaces: Long): DataFrame = {
     val spark = surf.sparkSession
     import spark.implicits._
     val toks = surf
@@ -72,10 +77,9 @@ object Linker {
           concat(lit("s:"), array_join(array_sort(split($"tokc", "")), "")))
           .otherwise(concat(lit("i:"), $"tokc")).as("tok"))
       .distinct()
-    val n = surf.count()
     val df = toks.groupBy($"tok").agg(countDistinct($"sid").as("df"))
     toks.join(df, "tok")
-      .withColumn("w", log(lit(1.0) + lit(n.toDouble) / $"df"))
+      .withColumn("w", log(lit(1.0) + lit(nSurfaces.toDouble) / $"df"))
       .select($"sid", $"etype", $"tok", $"w")
   }
 
@@ -88,9 +92,9 @@ object Linker {
     import spark.implicits._
     val tokKeys = toks
       .filter($"tok".startsWith("s:")) // initial tokens don't block-match
-      .select($"sid", concat_ws("", $"etype", $"tok").as("bkey"))
+      .select($"sid", concat_ws("\u0001", $"etype", $"tok").as("bkey"))
     val linkKeys = surf.filter($"link_target".isNotNull)
-      .select($"sid", concat_ws("", $"etype", lit("L:"), $"link_target").as("bkey"))
+      .select($"sid", concat_ws("\u0001", $"etype", lit("L:"), $"link_target").as("bkey"))
     val keys = tokKeys.unionByName(linkKeys)
     val sizes = keys.groupBy($"bkey").agg(count(lit(1)).as("bsz"))
       .filter($"bsz" >= 2 && $"bsz" <= cfg.maxBlock)
@@ -152,15 +156,26 @@ object Linker {
     * equality (the strong EDL signal — reference linkTarget feature),
     * or person-abbreviation key equality. */
   def matchEdges(mentions: Dataset[Mention], cfg: Config = Config()): (DataFrame, Dataset[MatchEdge]) = {
-    val spark = mentions.sparkSession
-    import spark.implicits._
-    // checkpoint the fan-out points: surf feeds 4 consumers and toks 4
-    // (pairs, both sides of the dot-product join, norms). Eager
+    // checkpoint the fan-out point: surf feeds 4 consumers. Eager
     // localCheckpoint (not persist) both reuses the data AND truncates
     // the plan, so downstream actions don't re-optimize the whole
     // extraction+id-assignment tree each time.
     val surf = surfaces(mentions).localCheckpoint(true)
-    val toks = tokenVectors(surf, cfg).localCheckpoint(true)
+    (surf, matchEdgesFrom(surf, cfg))
+  }
+
+  /** Match edges from a precomputed (checkpointed or snapshot-read)
+    * surface table — resumable-pipeline entry that avoids recomputing
+    * [[surfaces]]. */
+  def matchEdgesFrom(surf: DataFrame, cfg: Config = Config()): Dataset[MatchEdge] = {
+    val spark = surf.sparkSession
+    import spark.implicits._
+    // one job: IDF corpus size + the xxhash64 sid collision guard
+    val sizes = surf.agg(count(lit(1)), countDistinct($"sid")).head()
+    val (nSurf, nSid) = (sizes.getLong(0), sizes.getLong(1))
+    require(nSurf == nSid,
+      s"surface id hash collision: $nSurf surfaces, $nSid distinct sids")
+    val toks = tokenVectors(surf, cfg, nSurf).localCheckpoint(true)
     val pairs = candidatePairs(surf, toks, cfg)
     // suffix veto: "acme corp" vs "acme group" share a rare stem but
     // denote different organizations — when both names end in a known
@@ -176,21 +191,29 @@ object Linker {
       .join(sufs.withColumnRenamed("sid", "sid1").withColumnRenamed("suf", "suf1"), "sid1")
       .join(sufs.withColumnRenamed("sid", "sid2").withColumnRenamed("suf", "suf2"), "sid2")
       .filter($"suf1".isNull || $"suf2".isNull || $"suf1" === $"suf2")
+    // star edges, not all-pairs: connected components only needs
+    // connectivity, so each (etype, link_target) group links every
+    // surface to the group's min-sid representative — O(k) edges per
+    // group where the quadratic self-join emitted k², the uncapped
+    // skew hole a hot KB target would otherwise open.
     val linkPairs = {
       val l = surf.filter($"link_target".isNotNull)
         .select($"sid", $"etype", $"link_target")
-      l.as("a").join(l.as("b"),
-          $"a.etype" === $"b.etype" && $"a.link_target" === $"b.link_target" &&
-            $"a.sid" < $"b.sid")
-        .select($"a.sid".as("sid1"), $"b.sid".as("sid2"))
+      val reps = l.groupBy($"etype", $"link_target")
+        .agg(min($"sid").as("rep"), count(lit(1)).as("gsz"))
+        .filter($"gsz" >= 2)
+        .drop("gsz")
+      l.join(reps, Seq("etype", "link_target"))
+        .filter($"sid" =!= $"rep")
+        .select(least($"sid", $"rep").as("sid1"),
+          greatest($"sid", $"rep").as("sid2"))
     }
-    val edges = scored.filter($"score" >= cfg.threshold)
+    scored.filter($"score" >= cfg.threshold)
       .select($"sid1", $"sid2")
       .unionByName(linkPairs)
       .unionByName(abbrevPairs(surf))
       .distinct()
       .select($"sid1".as("src"), $"sid2".as("dst"))
       .as[MatchEdge]
-    (surf, edges)
   }
 }

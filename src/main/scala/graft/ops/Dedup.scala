@@ -57,25 +57,42 @@ object Dedup {
 
   /** MinHash signatures: K permutations simulated by seeded xxhash64
     * of each shingle; signature[i] = min over shingles. Word shingles
-    * (k words) keep candidate generation cheap at corpus scale. */
+    * (k words) keep candidate generation cheap at corpus scale.
+    *
+    * SHUFFLE-FREE: one aggregate() fold over the per-row shingle
+    * array computes all K minima in a single codegen projection — no
+    * explode, no groupBy, nothing crosses the wire. Values are
+    * identical to the explode+min formulation (min over the same
+    * xxhash64(shingle, i) terms). */
   def minHashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {
-    val sh = explode(wordShingles(col("text"), k)).as("shingle")
-    val exploded = docs.select(col("doc_id"), sh)
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
-    exploded.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
+    val sig = aggregate(
+      wordShingles(col("text"), k),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(s, i)),
+        (a, h) => least(a, h)))
+    docs.select(col("doc_id"), sig.as("signature"))
   }
 
   /** LSH banding: near-dup candidate pairs = docs sharing ≥1 band of
     * `rowsPerBand` consecutive minhashes. Bucket join on the band
-    * hash — distributed, no broadcast, no n². */
-  def minHashCandidates(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
-    val numHashes = 16 // matches minHashSignatures default
+    * hash — distributed, no broadcast, no n². `numHashes` must match
+    * the signature width (and divide by rowsPerBand) — enforced, not
+    * assumed, so a desync can't silently degenerate empty band slices
+    * into one global all-pairs bucket. */
+  def minHashCandidates(signatures: DataFrame, rowsPerBand: Int = 4,
+      numHashes: Int = 16): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes=$numHashes not divisible by rowsPerBand=$rowsPerBand")
+    // width guard lives inside the banding expression so column
+    // pruning can't drop it
+    val guarded = signatures.withColumn("signature",
+      when(size(col("signature")) === numHashes, col("signature"))
+        .otherwise(raise_error(
+          lit(s"signature width != numHashes=$numHashes"))))
     val bands = (0 until numHashes / rowsPerBand).map { b =>
-      signatures.select(
+      guarded.select(
         col("doc_id"),
         lit(b).as("band"),
         xxhash64(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)

@@ -52,21 +52,37 @@ object Similarity {
     embeddings.withColumn("bucket", bitCols.reduce(_ + _))
   }
 
-  /** LSH-bucketed ANN: top-k within the query vector's bucket (falls
-    * back to global brute force only if the bucket is empty — callers
-    * widen nBits down for higher recall). */
-  def lshTopK(embeddings: DataFrame, query: Seq[Float], k: Int = 10, nBits: Int = 8): DataFrame = {
+  /** LSH-bucketed ANN with MULTI-PROBE: candidates come from the
+    * query's bucket plus every bucket within Hamming distance
+    * `probeHamming` of it (flipping ≤h of the nBits hyperplane signs —
+    * the standard multi-probe LSH recall lever: near neighbors that
+    * land one hyperplane away are still found without lowering nBits).
+    * If the probed buckets hold fewer than k rows, falls back to
+    * global brute force, so the result NEVER silently returns <k rows.
+    * Cost: one cheap probe-count action, then top-k over the bucket
+    * subset (or the full scan on fallback). */
+  def lshTopK(embeddings: DataFrame, query: Seq[Float], k: Int = 10,
+      nBits: Int = 8, probeHamming: Int = 1): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val bucketed = lshBuckets(embeddings, nBits)
     val qDf = spark.createDataset(Seq((0L, query))).toDF("vec_id", "embedding")
     val qBucket = lshBuckets(qDf, nBits).select(col("bucket")).head().getLong(0)
-    val q = array(query.map(v => lit(v.toDouble)): _*)
-    bucketed.filter(col("bucket") === qBucket)
-      .select(col("vec_id"),
-        round(cosine(col("embedding").cast("array<double>"), q), 6).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-      .limit(k)
+    val probes: Seq[Long] = {
+      def flips(base: Long, fromBit: Int, left: Int): Seq[Long] =
+        if (left == 0) Seq(base)
+        else (fromBit until nBits).flatMap(b => flips(base ^ (1L << b), b + 1, left - 1))
+      (0 to probeHamming).flatMap(h => flips(qBucket, 0, h)).distinct
+    }
+    val cand = bucketed.filter(col("bucket").isin(probes: _*))
+    if (cand.limit(k).count() < k) bruteForceTopK(embeddings, query, k)
+    else {
+      val q = array(query.map(v => lit(v.toDouble)): _*)
+      cand.select(col("vec_id"),
+          round(cosine(col("embedding").cast("array<double>"), q), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(k)
+    }
   }
 
   /** All-pairs near-duplicate detection by embedding cosine ≥ τ,

@@ -39,19 +39,27 @@ class SnapshotStore(val root: String) {
     }
 
   /** Write `df` as the next snapshot of `stage`; returns snapshot id.
-    * Per-partition row counts are collected as lineage counters via
-    * spark_partition_id (the reference's progress-counter analog,
-    * update_kg/Updater.py:152). */
-  def write(stage: String, df: DataFrame): Long = {
+    * SINGLE-PASS: the stage computes exactly once — the write carries
+    * a `_pid` (spark_partition_id) lineage column into the parquet,
+    * and the per-partition row counters (the reference's
+    * progress-counter analog, update_kg/Updater.py:152) are then
+    * aggregated from the WRITTEN files, a column-pruned scan of one
+    * RLE int column, never a second computation of the stage.
+    * `fingerprint` records the config/input identity the snapshot was
+    * built under; [[getOrCreate]] refuses to resume across a
+    * fingerprint change. */
+  def write(stage: String, df: DataFrame, fingerprint: String = ""): Long = {
     val snapId = System.currentTimeMillis()
     val dir = s"$root/$stage/snap-$snapId"
-    val withPid = df.withColumn("_pid", spark_partition_id())
-    val counts = withPid.groupBy(col("_pid")).count().collect()
+    df.withColumn("_pid", spark_partition_id())
+      .write.mode("overwrite").parquet(dir)
+    val counts = df.sparkSession.read.parquet(dir)
+      .groupBy(col("_pid")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    df.write.mode("overwrite").parquet(dir)
     val parent = current(stage).map(_.toString).getOrElse("null")
     val entry =
       s"""{"stage":"${esc(stage)}","snapshot":$snapId,"parent":$parent,""" +
+        s""""fp":"${esc(fingerprint)}",""" +
         s""""rows":${counts.map(_._2).sum},"partitions":[""" +
         counts.map { case (p, c) => s"""{"pid":$p,"rows":$c}""" }.mkString(",") + "]}"
     val existing = readManifest().filterNot(_.contains(s""""stage":"${esc(stage)}","snapshot":$snapId"""))
@@ -100,23 +108,55 @@ class SnapshotStore(val root: String) {
       .sorted.lastOption
   }
 
+  /** Fingerprint the latest snapshot of a stage was written under
+    * (pre-fingerprint manifests report ""). */
+  def currentFingerprint(stage: String): Option[String] =
+    current(stage).flatMap { id =>
+      readManifest()
+        .find(e => e.contains(s""""stage":"${esc(stage)}","snapshot":$id"""))
+        .map { e =>
+          val k = e.indexOf("\"fp\":\"")
+          if (k < 0) ""
+          else {
+            val start = k + 6
+            val sb = new StringBuilder
+            var i = start
+            while (i < e.length && e.charAt(i) != '"') {
+              if (e.charAt(i) == '\\' && i + 1 < e.length) { sb += e.charAt(i + 1); i += 2 }
+              else { sb += e.charAt(i); i += 1 }
+            }
+            sb.toString
+          }
+        }
+    }
+
   /** Read a stage's snapshot (latest by default; pass an id for
     * time-travel). Returns None if the stage was never materialized —
-    * the resume decision point. */
+    * the resume decision point. The `_pid` lineage column is internal
+    * and dropped. */
   def read(spark: SparkSession, stage: String, snapshot: Option[Long] = None): Option[DataFrame] =
     snapshot.orElse(current(stage)).flatMap { id =>
       val dir = s"$root/$stage/snap-$id"
-      if (Files.exists(Paths.get(dir))) Some(spark.read.parquet(dir)) else None
+      if (Files.exists(Paths.get(dir))) Some(spark.read.parquet(dir).drop("_pid"))
+      else None
     }
 
-  /** Resume-or-compute: read the latest snapshot if present, else
-    * compute, snapshot, and re-read (so downstream plans scan parquet
-    * with pushdown instead of recomputing lineage). */
-  def getOrCreate(spark: SparkSession, stage: String)(compute: => DataFrame): DataFrame =
-    read(spark, stage).getOrElse {
-      write(stage, compute)
-      read(spark, stage).get
-    }
+  /** Resume-or-compute: read the latest snapshot if it exists AND was
+    * written under the same `fingerprint` (config/input identity);
+    * else compute, snapshot, and re-read (so downstream plans scan
+    * parquet with pushdown instead of recomputing lineage). A changed
+    * fingerprint therefore re-keys the stage and, transitively, every
+    * downstream stage whose fingerprint embeds the same config — a
+    * rerun with a different --threshold or --input can never silently
+    * reuse stale snapshots. */
+  def getOrCreate(spark: SparkSession, stage: String, fingerprint: String = "")
+      (compute: => DataFrame): DataFrame =
+    read(spark, stage)
+      .filter(_ => currentFingerprint(stage).contains(fingerprint))
+      .getOrElse {
+        write(stage, compute, fingerprint)
+        read(spark, stage).get
+      }
 
   /** All manifest entries (raw JSON) — metrics/lineage introspection. */
   def manifestEntries(): Seq[String] = readManifest()

@@ -85,6 +85,39 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == brute)
   }
 
+  test("minhash candidates reject a signature-width desync loudly") {
+    val d = docs(1L -> "a b c d e", 2L -> "f g h i j")
+    val sigs8 = Dedup.minHashSignatures(d, numHashes = 8)
+    // divisibility mismatch → immediate require
+    intercept[IllegalArgumentException] {
+      Dedup.minHashCandidates(sigs8, rowsPerBand = 3, numHashes = 8)
+    }
+    // width mismatch vs numHashes → runtime raise, not silent all-pairs
+    val ex = intercept[Exception] {
+      Dedup.minHashCandidates(sigs8, rowsPerBand = 4, numHashes = 16).collect()
+    }
+    assert(ex.getMessage != null)
+    // matched width works
+    assert(Dedup.minHashCandidates(sigs8, rowsPerBand = 4, numHashes = 8)
+      .collect() != null)
+  }
+
+  test("LSH top-k never returns fewer than k rows (multi-probe + fallback)") {
+    import spark.implicits._
+    // spread vectors across many buckets so the query's own bucket
+    // holds fewer than k rows → single-probe would under-return
+    val rows = (0 until 12).map { i =>
+      val v = Seq.tabulate(8)(d => if (d == i % 8) 1.0f else 0.0f)
+      (i.toLong, v)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val q = Seq.tabulate(8)(d => if (d == 0) 1.0f else 0.0f)
+    val brute = Similarity.bruteForceTopK(e, q, 10).collect()
+    val lsh = Similarity.lshTopK(e, q, 10, nBits = 8).collect()
+    assert(lsh.length == 10, s"lshTopK returned ${lsh.length} < k rows")
+    assert(lsh.map(_.getDouble(1)).max == brute.map(_.getDouble(1)).max)
+  }
+
   test("langid picks the stopword-dominant language") {
     val d = spark.createDataFrame(Seq(
       (1L, "the cat and the dog went to the market of the town"),

@@ -47,6 +47,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in extraction: $plan")
   }
 
+  test("linker surface-id assignment is a pure projection (no RDD, no sort)") {
+    import spark.implicits._
+    val turns = graft.synth.TranscriptSynth.turnsDs(spark,
+      graft.synth.TranscriptSynth.Config(nConvs = 10, turnsPerConv = 4))
+    val mentions = graft.extract.MentionExtractor.extract(turns)
+      .flatMap(_.mentions)
+    val surf = graft.link.Linker.surfaces(mentions)
+    val plan = surf.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD") && !plan.contains("Scan ExistingRDD"),
+      s"RDD round-trip in surfaces plan: $plan")
+    assert(!plan.contains("Sort "), s"global sort in surfaces plan: $plan")
+  }
+
+  test("minhash signatures plan has no shuffle (per-row fold, no explode/groupBy)") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
+    val plan = graft.ops.Dedup.minHashSignatures(d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in minhash plan: $plan")
+  }
+
   test("superedge aggregation uses partial aggregation (map-side combine)") {
     import spark.implicits._
     val ms = Seq(graft.schema.Membership("c1", "m1", 1.0)).toDS()

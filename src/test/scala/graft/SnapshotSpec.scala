@@ -47,4 +47,36 @@ class SnapshotSpec extends AnyFunSuite {
     store.getOrCreate(spark, "x")(compute())
     assert(computes == 1)
   }
+
+  test("write computes the stage exactly once (single-pass lineage)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap").toString
+    val store = new SnapshotStore(root)
+    val evals = spark.sparkContext.longAccumulator("evals")
+    val df = (1 to 40).toDF("v").repartition(4)
+      .map { r => evals.add(1); r.getInt(0) }.toDF("v")
+    store.write("once", df)
+    assert(evals.value == 40, s"stage rows evaluated ${evals.value} times, want 40")
+    // lineage counters still present and correct
+    val entry = store.manifestEntries().find(_.contains("\"stage\":\"once\"")).get
+    assert(entry.contains("\"rows\":40"))
+    assert(entry.contains("\"pid\":"))
+    // the internal _pid column does not leak to readers
+    assert(!store.read(spark, "once").get.columns.contains("_pid"))
+  }
+
+  test("getOrCreate invalidates on fingerprint change, resumes on match") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap").toString
+    val store = new SnapshotStore(root)
+    var computes = 0
+    def compute(n: Int) = { computes += 1; (1 to n).toDF("v") }
+    assert(store.getOrCreate(spark, "y", "threshold=0.65")(compute(5)).count() == 5)
+    assert(store.getOrCreate(spark, "y", "threshold=0.65")(compute(5)).count() == 5)
+    assert(computes == 1) // same fp → resume
+    Thread.sleep(5)
+    assert(store.getOrCreate(spark, "y", "threshold=0.80")(compute(9)).count() == 9)
+    assert(computes == 2) // changed fp → recompute, never stale reuse
+    assert(store.currentFingerprint("y").contains("threshold=0.80"))
+  }
 }
