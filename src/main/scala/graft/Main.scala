@@ -58,13 +58,19 @@ object Main {
     val ke = store.getOrCreate(spark, "ke", fp) {
       turns.flatMap { t =>
         val k = MentionExtractor.extractTurn(t)
-        k.mentions.iterator.map(m => (1, m, null: Statement, null: String)).toSeq ++
-          k.statements.iterator.map(s => (2, null: Mention, s, null: String)) ++
-          (if (k.error != null) Seq((3, null: Mention, null: Statement, k.error)) else Nil)
-      }.toDF("tag", "m", "s", "error")
+        k.mentions.iterator.map(m => (1, m, null: Statement, null: EventArg, null: String)).toSeq ++
+          k.statements.iterator.map(s => (2, null: Mention, s, null: EventArg, null: String)) ++
+          k.events.iterator.map(m => (4, m, null: Statement, null: EventArg, null: String)) ++
+          k.eventArgs.iterator.map(a => (5, null: Mention, null: Statement, a, null: String)) ++
+          (if (k.error != null)
+             Seq((3, null: Mention, null: Statement, null: EventArg, k.error))
+           else Nil)
+      }.toDF("tag", "m", "s", "a", "error")
     }
     val mentions = ke.filter(col("tag") === 1).select(col("m.*")).as[Mention]
     val statements = ke.filter(col("tag") === 2).select(col("s.*")).as[Statement]
+    val events = ke.filter(col("tag") === 4).select(col("m.*")).as[Mention]
+    val eventArgs = ke.filter(col("tag") === 5).select(col("a.*"))
 
     val surf = store.getOrCreate(spark, "surfaces", fp)(Linker.surfaces(mentions))
     val edges = store.getOrCreate(spark, "match_edges", fp) {
@@ -86,6 +92,33 @@ object Main {
     }.as[SuperEdge]
     val triples = store.getOrCreate(spark, "triples", fp) {
       SuperEdges.namedTriples(superEdges, prototypes).toDF()
+    }
+    // event coreference (the reference's aida:Event cluster kind,
+    // Updater.py:133) — after entity clustering, arguments resolve at
+    // cluster level
+    val eventClusters = store.getOrCreate(spark, "event_clusters", fp) {
+      graft.canon.EventCoref.keyedEvents(events, eventArgs, memberships)
+    }
+    store.getOrCreate(spark, "event_prototypes", fp) {
+      graft.canon.EventCoref.prototypes(eventClusters).toDF()
+    }
+    // relation clusters + justification/link aggregation + copy-backs
+    // (reference run_all steps 6-8 and the proto/superedge
+    // justification inserts, Updater.py:222-256, sparqls.py:391-527)
+    store.getOrCreate(spark, "relation_clusters", fp) {
+      graft.canon.RelationClusters.cluster(statements, memberships)
+    }
+    store.getOrCreate(spark, "cluster_justifications", fp) {
+      graft.canon.Justifications.informativeJustifications(memberships, mentions)
+    }
+    store.getOrCreate(spark, "cluster_links", fp) {
+      graft.canon.Justifications.clusterLinks(memberships, mentions)
+    }
+    store.getOrCreate(spark, "proto_justifications", fp) {
+      graft.canon.Justifications.prototypeJustifications(memberships, mentions, prototypes)
+    }
+    store.getOrCreate(spark, "superedge_justifications", fp) {
+      graft.canon.Justifications.superEdgeJustifications(statements, memberships)
     }
     triples.count()
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.canon.Canonicalizer
+import graft.canon.{Canonicalizer, EventCoref, Justifications, RelationClusters}
 import graft.cc.ConnectedComponents
 import graft.extract.MentionExtractor
 import graft.link.Linker
@@ -26,6 +26,12 @@ import graft.superedge.SuperEdges
  */
 object Pipeline {
 
+  /** Full pipeline output. Core stages (through `triples`) are
+    * materialized at stage boundaries; the event / relation /
+    * justification outputs are LAZY plans over those checkpointed
+    * stages — consumers that don't need them (e.g. the throughput
+    * bench's triple count) pay nothing, and consumers that do get
+    * plans rooted at materialized data, not at re-extraction. */
   final case class Result(
       mentions: Dataset[Mention],
       statements: Dataset[Statement],
@@ -36,9 +42,29 @@ object Pipeline {
       memberships: Dataset[Membership],
       prototypes: Dataset[Prototype],
       superEdges: Dataset[SuperEdge],
-      triples: Dataset[Triple])
+      triples: Dataset[Triple],
+      // event KEs (the reference's third cluster kind, Updater.py:133)
+      events: Dataset[Mention],
+      eventArgs: DataFrame,
+      eventClusters: DataFrame,
+      eventMemberships: Dataset[Membership],
+      eventPrototypes: Dataset[Prototype],
+      // relation clusters (Updater.py:222-244) + justification/link
+      // aggregation (run_all steps 7-8, Updater.py:246-256) + copy-backs
+      relationClusters: DataFrame,
+      informativeJustifications: DataFrame,
+      clusterLinks: DataFrame,
+      protoJustifications: DataFrame,
+      superEdgeJustifications: DataFrame)
 
-  def run(turns: Dataset[Turn], linkCfg: Linker.Config = Linker.Config()): Result = {
+  /** Rows above which the surface dictionary is assumed to exceed the
+    * broadcast threshold and the membership join switches to the
+    * salted path (hot-surface skew defense, SURVEY.md §7.4.3).
+    * ~2M compact surface rows ≈ the 100MB broadcast ceiling. */
+  val SaltedMembershipRows: Long = 2L * 1000 * 1000
+
+  def run(turns: Dataset[Turn], linkCfg: Linker.Config = Linker.Config(),
+      saltedMembershipRows: Long = SaltedMembershipRows): Result = {
     val spark = turns.sparkSession
     import spark.implicits._
 
@@ -52,20 +78,25 @@ object Pipeline {
     // §4.3.5) — on a cluster these boundaries are SnapshotStore
     // parquet snapshots.
     // ONE extraction pass emitting a flat tagged row per KE; mentions/
-    // statements/errors are then carved out with columnar filter+
-    // project (no object round-trip, no second extraction pass, no
-    // nested Seq cache).
+    // statements/events/args/errors are then carved out with columnar
+    // filter+project (no object round-trip, no second extraction pass,
+    // no nested Seq cache).
     val ke = turns.flatMap { t =>
       val k = MentionExtractor.extractTurn(t)
-      val ms = k.mentions.iterator.map(m => (1, m, null: Statement, null: String))
-      val ss = k.statements.iterator.map(s => (2, null: Mention, s, null: String))
-      val es = if (k.error != null) Iterator((3, null: Mention, null: Statement, k.error))
-               else Iterator.empty
-      (ms ++ ss ++ es).toSeq
-    }.toDF("tag", "m", "s", "error").localCheckpoint(true)
+      val ms = k.mentions.iterator.map(m => (1, m, null: Statement, null: EventArg, null: String))
+      val ss = k.statements.iterator.map(s => (2, null: Mention, s, null: EventArg, null: String))
+      val evs = k.events.iterator.map(m => (4, m, null: Statement, null: EventArg, null: String))
+      val eas = k.eventArgs.iterator.map(a => (5, null: Mention, null: Statement, a, null: String))
+      val es = if (k.error != null)
+        Iterator((3, null: Mention, null: Statement, null: EventArg, k.error))
+      else Iterator.empty
+      (ms ++ ss ++ evs ++ eas ++ es).toSeq
+    }.toDF("tag", "m", "s", "a", "error").localCheckpoint(true)
     val mentions = ke.filter(col("tag") === 1).select(col("m.*")).as[Mention]
     val statements = ke.filter(col("tag") === 2).select(col("s.*")).as[Statement]
     val errors = ke.filter(col("tag") === 3).select(col("error"))
+    val events = ke.filter(col("tag") === 4).select(col("m.*")).as[Mention]
+    val eventArgs = ke.filter(col("tag") === 5).select(col("a.*"))
 
     val (surf, edges) = Linker.matchEdges(mentions, linkCfg) // surf checkpointed inside
     val comp = ConnectedComponents.run(edges.toDF())
@@ -73,15 +104,41 @@ object Pipeline {
       .withKind(Canonicalizer.surfaceClusters(surf, comp))
       .localCheckpoint(true)
 
-    val memberships = Canonicalizer.memberships(mentions, surfClusters)
-      .localCheckpoint(true)
+    // size-based auto-switch: below the threshold the surface dict
+    // broadcasts (Catalyst picks BroadcastHashJoin from the compact
+    // checkpointed stats); above it the explicit salted join defuses
+    // the hot-surface key before the sort-merge shuffle.
+    val nSurfaces = surfClusters.count() // checkpointed → cheap metadata-ish scan
+    val memberships =
+      (if (nSurfaces <= saltedMembershipRows)
+         Canonicalizer.memberships(mentions, surfClusters)
+       else Canonicalizer.membershipsSalted(mentions, surfClusters))
+        .localCheckpoint(true)
     val prototypes = Canonicalizer.prototypes(mentions, surfClusters)
       .localCheckpoint(true)
     val superEdges = SuperEdges.superEdges(statements, memberships)
       .localCheckpoint(true)
     val triples = SuperEdges.namedTriples(superEdges, prototypes)
 
+    // event coreference runs AFTER entity clustering (argument
+    // identity is cluster-level) — lazy plans over checkpointed inputs
+    val eventKeyed = EventCoref.keyedEvents(events, eventArgs, memberships)
+    val eventMemberships = EventCoref.memberships(eventKeyed)
+    val eventPrototypes = EventCoref.prototypes(eventKeyed)
+
+    val relationClusters = RelationClusters.cluster(statements, memberships)
+    val informativeJustifications =
+      Justifications.informativeJustifications(memberships, mentions)
+    val clusterLinks = Justifications.clusterLinks(memberships, mentions)
+    val protoJustifications =
+      Justifications.prototypeJustifications(memberships, mentions, prototypes)
+    val superEdgeJustifications =
+      Justifications.superEdgeJustifications(statements, memberships)
+
     Result(mentions, statements, errors, surf, comp, surfClusters,
-      memberships, prototypes, superEdges, triples)
+      memberships, prototypes, superEdges, triples,
+      events, eventArgs, eventKeyed, eventMemberships, eventPrototypes,
+      relationClusters, informativeJustifications, clusterLinks,
+      protoJustifications, superEdgeJustifications)
   }
 }

@@ -1,10 +1,12 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.canon.{EventCoref, Justifications, RelationClusters}
 import graft.ops.{Dedup, Similarity, TextStats}
+import graft.schema.{Membership, Mention, Prototype, Statement}
 import graft.synth.TranscriptSynth
 
 /**
@@ -170,6 +172,25 @@ object SparkEntry {
       Similarity.cosinePairsExact(
         t(s, d, "embeddings").filter(col("vec_id") < 200), 0.30)
     }),
+    // ---- cluster-op shapes over testdata tables (DuckDB-oracled):
+    // the REAL pipeline operators (RelationClusters / Justifications)
+    // driven by deterministic statement/membership tables derived from
+    // `events`, so the driver hash-checks the exact code paths the KG
+    // pipeline runs.
+    "q_relation_clusters" -> ((s, d) => {
+      val (stmts, ms) = fabricatedStatements(s, d)
+      RelationClusters.cluster(stmts, ms)
+        .select(col("relation_cluster_id"), col("rel_key"),
+          array_join(col("member_stmts"), ",").as("members"), col("n_members"))
+    }),
+    "q_proto_justi" -> ((s, d) => { // prototype justification copy-back
+      val (mentions, ms, protos) = fabricatedClusters(s, d)
+      Justifications.prototypeJustifications(ms, mentions, protos)
+    }),
+    "q_inf_just" -> ((s, d) => { // A3 informative justification (conf argmax per doc)
+      val (mentions, ms, _) = fabricatedClusters(s, d)
+      Justifications.informativeJustifications(ms, mentions)
+    }),
     // ---- the KG pipeline itself (non-SQL; golden-tested in ScalaTest)
     "q_kg_triples" -> ((s, _) => {
       val cfg = TranscriptSynth.Config(nConvs = 80, turnsPerConv = 8)
@@ -179,8 +200,79 @@ object SparkEntry {
       val cfg = TranscriptSynth.Config(nConvs = 60, turnsPerConv = 8)
       Pipeline.run(TranscriptSynth.turnsDs(s, cfg, partitions = 8))
         .prototypes.toDF().select(col("name"), col("etype"), col("n_members"))
+    }),
+    "q_kg_event_prototypes" -> ((s, _) => { // C8: event coreference output
+      val cfg = TranscriptSynth.Config(nConvs = 60, turnsPerConv = 8)
+      val r = Pipeline.run(TranscriptSynth.turnsDs(s, cfg, partitions = 8))
+      EventCoref.namedFrames(r.eventClusters, r.eventArgs, r.memberships, r.prototypes)
+        .select(col("etype"), col("subj"), col("obj"), col("place"), col("n_members"))
+    }),
+    "q_kg_relation_clusters" -> ((s, _) => { // C6 wired into pipeline output
+      val cfg = TranscriptSynth.Config(nConvs = 60, turnsPerConv = 8)
+      Pipeline.run(TranscriptSynth.turnsDs(s, cfg, partitions = 8))
+        .relationClusters.select(col("rel_key"), col("n_members"))
     })
   )
+
+  /** Deterministic Statement/Membership tables over `events` — the
+    * DuckDB-replicable harness for the cluster-op oracle queries:
+    * each event row is a "statement" (subj = user, obj = the JSON k
+    * payload), memberships assign both ends to mod-50 buckets. */
+  private def fabricatedStatements(s: SparkSession, d: String): (Dataset[Statement], Dataset[Membership]) = {
+    import s.implicits._
+    val ev = t(s, d, "events")
+    val stmts = ev.select(
+      col("event_id").cast("string").as("stmt_id"),
+      col("user_id").cast("string").as("subj"),
+      col("event_type").as("pred"),
+      get_json_object(col("props"), "$.k").as("obj"),
+      col("value").as("conf"),
+      col("user_id").cast("string").as("conv_id"),
+      lit(0).as("turn_idx"), lit(0).as("start_off"), lit(1).as("end_off"))
+      .as[Statement]
+    val members = ev.select(col("user_id").cast("long").as("mid"))
+      .union(ev.select(get_json_object(col("props"), "$.k").cast("long").as("mid")))
+      .distinct()
+    val ms = members.select(
+      concat(lit("c"), pmod(col("mid"), lit(50)).cast("string")).as("cluster_id"),
+      col("mid").cast("string").as("member_id"),
+      lit(1.0).as("conf")).as[Membership]
+    (stmts, ms)
+  }
+
+  /** Deterministic Mention/Membership/Prototype tables over `events`
+    * for the justification copy-back oracles: each event is a
+    * "mention" justified at (conv = user bucket, span = ts-derived),
+    * clustered by event_type. */
+  private def fabricatedClusters(s: SparkSession, d: String): (Dataset[Mention], Dataset[Membership], Dataset[Prototype]) = {
+    import s.implicits._
+    val ev = t(s, d, "events")
+    val mentions = ev.select(
+      col("event_id").cast("string").as("mention_id"),
+      concat(lit("doc"), pmod(col("user_id"), lit(20)).cast("string")).as("conv_id"),
+      pmod(col("event_id"), lit(7)).cast("int").as("turn_idx"),
+      lit("entity").as("kind"),
+      col("event_type").as("etype"),
+      col("event_type").as("name"),
+      col("event_type").as("norm_name"),
+      lit(0).as("start_off"),
+      pmod(col("event_id"), lit(100)).cast("int").as("end_off"),
+      col("value").as("conf"),
+      lit(null).cast("string").as("link_target")).as[Mention]
+    val ms = ev.select(
+      concat(lit("c:"), col("event_type")).as("cluster_id"),
+      col("event_id").cast("string").as("member_id"),
+      lit(1.0).as("conf")).as[Membership]
+    val protos = ev.select(col("event_type")).distinct().select(
+      concat(lit("p:"), col("event_type")).as("prototype_id"),
+      concat(lit("c:"), col("event_type")).as("cluster_id"),
+      lit("entity").as("kind"),
+      col("event_type").as("name"),
+      col("event_type").as("etype"),
+      lit(null).cast("string").as("link_target"),
+      lit(0L).as("n_members")).as[Prototype]
+    (mentions, ms, protos)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_count_by_type" ->
@@ -276,6 +368,61 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(length(norm)-4, 1)+1),
+        |                               i -> norm[i:i+4])) AS s
+        |  FROM d)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+        |             / greatest(length(list_distinct(list_concat(a.s, b.s))), 1), 4) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q_relation_clusters" ->
+      """WITH s AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS stmt_id,
+        |         CAST(user_id AS VARCHAR) AS subj,
+        |         event_type AS pred,
+        |         json_extract_string(props, '$.k') AS obj
+        |  FROM events),
+        |j AS (
+        |  SELECT stmt_id, pred,
+        |         'c' || CAST(CAST(subj AS BIGINT) % 50 AS VARCHAR) AS sc,
+        |         'c' || CAST(CAST(obj AS BIGINT) % 50 AS VARCHAR) AS oc
+        |  FROM s),
+        |k AS (
+        |  SELECT stmt_id,
+        |         pred || '|' ||
+        |         least('subj:' || sc, 'obj:' || oc) || ',' ||
+        |         greatest('subj:' || sc, 'obj:' || oc) AS rel_key
+        |  FROM j)
+        |SELECT 'rc:' || md5(rel_key) AS relation_cluster_id, rel_key,
+        |       string_agg(stmt_id, ',' ORDER BY stmt_id) AS members,
+        |       count(*) AS n_members
+        |FROM k GROUP BY rel_key""".stripMargin,
+    "q_proto_justi" ->
+      """SELECT 'p:' || event_type AS prototype_id,
+        |       'c:' || event_type AS cluster_id,
+        |       CAST(event_id AS VARCHAR) AS member_id,
+        |       'doc' || CAST(user_id % 20 AS VARCHAR) AS conv_id,
+        |       CAST(event_id % 7 AS INTEGER) AS turn_idx,
+        |       0 AS start_off,
+        |       CAST(event_id % 100 AS INTEGER) AS end_off,
+        |       value AS conf
+        |FROM events""".stripMargin,
+    "q_inf_just" ->
+      """SELECT cluster_id, conv_id, member_id, turn_idx, start_off, end_off, conf FROM (
+        |  SELECT 'c:' || event_type AS cluster_id,
+        |         'doc' || CAST(user_id % 20 AS VARCHAR) AS conv_id,
+        |         CAST(event_id AS VARCHAR) AS member_id,
+        |         CAST(event_id % 7 AS INTEGER) AS turn_idx,
+        |         0 AS start_off,
+        |         CAST(event_id % 100 AS INTEGER) AS end_off,
+        |         value AS conf,
+        |         row_number() OVER (
+        |           PARTITION BY event_type, user_id % 20
+        |           ORDER BY value DESC, CAST(event_id AS VARCHAR) ASC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
     "q_ann_topk" ->
       """SELECT vec_id,
         |       round(list_cosine_similarity(embedding::DOUBLE[],

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.schema.{Membership, Mention}
+import graft.schema.{Membership, Mention, Prototype, Statement}
 
 /**
  * Cluster-level justification/link aggregation — the reference's
@@ -63,6 +63,71 @@ object Justifications {
       .filter(col("link_target").isNotNull)
       .groupBy(col("cluster_id"), col("link_target"))
       .agg(max(col("conf")).as("link_cv"))
+
+  /** Prototype justification copy-back — the reference's `proto_justi`
+    * (update_kg/sparqls.py:391-410): EVERY member's justification span
+    * is copied onto the cluster prototype (one row per member, not an
+    * argmax). A single 1:1 join on unique member_id plus a broadcast-
+    * size prototype join — no skew surface. */
+  def prototypeJustifications(memberships: Dataset[Membership],
+      mentions: Dataset[Mention], prototypes: Dataset[Prototype]): DataFrame =
+    memberships.toDF().select(col("cluster_id"), col("member_id"))
+      .join(mentions.toDF().withColumnRenamed("mention_id", "member_id")
+        .select(col("member_id"), col("conv_id"), col("turn_idx"),
+          col("start_off"), col("end_off"), col("conf")), "member_id")
+      .join(prototypes.toDF().select(col("cluster_id"), col("prototype_id")),
+        "cluster_id")
+      .select(col("prototype_id"), col("cluster_id"), col("member_id"),
+        col("conv_id"), col("turn_idx"), col("start_off"), col("end_off"),
+        col("conf"))
+
+  /** Prototype INFORMATIVE justification copy-back — `proto_inf_just`
+    * (update_kg/sparqls.py:413-430): the per-(cluster, doc) best
+    * justification (A3) keyed by the prototype. */
+  def prototypeInformativeJustifications(memberships: Dataset[Membership],
+      mentions: Dataset[Mention], prototypes: Dataset[Prototype]): DataFrame =
+    informativeJustifications(memberships, mentions)
+      .join(prototypes.toDF().select(col("cluster_id"), col("prototype_id")),
+        "cluster_id")
+      .select(col("prototype_id"), col("cluster_id"), col("conv_id"),
+        col("member_id"), col("turn_idx"), col("start_off"), col("end_off"),
+        col("conf"))
+
+  /** Prototype TYPE-ASSERTION justification copy-back —
+    * `proto_type_assertion_justi` (update_kg/sparqls.py:433-454): the
+    * justification of each member's type assertion, carried with the
+    * asserted type, copied onto the prototype. In the columnar model a
+    * mention's type assertion is its (etype, span) pair. */
+  def prototypeTypeAssertionJustifications(memberships: Dataset[Membership],
+      mentions: Dataset[Mention], prototypes: Dataset[Prototype]): DataFrame =
+    memberships.toDF().select(col("cluster_id"), col("member_id"))
+      .join(mentions.toDF().withColumnRenamed("mention_id", "member_id")
+        .select(col("member_id"), col("etype"), col("conv_id"),
+          col("turn_idx"), col("start_off"), col("end_off")), "member_id")
+      .join(prototypes.toDF().select(col("cluster_id"), col("prototype_id")),
+        "cluster_id")
+      .select(col("prototype_id"), col("cluster_id"), col("etype"),
+        col("member_id"), col("conv_id"), col("turn_idx"),
+        col("start_off"), col("end_off"))
+
+  /** Superedge justification copy — `super_edge_justif`
+    * (update_kg/sparqls.py:509-527): each superedge carries the
+    * justification spans of ALL its member statements. Same 1:1
+    * mention-id joins as the superedge build itself (SURVEY §2.3 J9 —
+    * skew-free by construction); the output key (subj_proto, pred,
+    * obj_proto) matches [[graft.superedge.SuperEdges.superEdges]]. */
+  def superEdgeJustifications(statements: Dataset[Statement],
+      memberships: Dataset[Membership]): DataFrame = {
+    val m = memberships.toDF()
+    statements.toDF()
+      .join(m.select(col("member_id").as("subj"),
+        col("cluster_id").as("subj_proto")), "subj")
+      .join(m.select(col("member_id").as("obj"),
+        col("cluster_id").as("obj_proto")), "obj")
+      .select(col("subj_proto"), col("pred"), col("obj_proto"),
+        col("stmt_id"), col("conv_id"), col("turn_idx"),
+        col("start_off"), col("end_off"), col("conf"))
+  }
 
   /** P9: deterministic DUMMY link synthesis for NIL mentions — the
     * reference's global counter (json_head/get_json_head.py:10,18-20)

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Dataset
 
-import graft.schema.{Mention, Statement, Turn}
+import graft.schema.{EventArg, Mention, Statement, Turn}
 
 /**
  * Per-turn mention + reified-statement extraction — the TA1 analog
@@ -23,10 +23,16 @@ import graft.schema.{Mention, Statement, Turn}
  */
 object MentionExtractor {
 
-  /** All KEs of one turn, plus failure lineage. */
+  /** All KEs of one turn, plus failure lineage. `events` are event
+    * mentions (kind="event", etype = event type, name = trigger
+    * surface text, offsets = trigger span — the reference's event
+    * json-head trigger feature, update_kg/Updater.py:323-345);
+    * `eventArgs` are their typed argument edges. */
   final case class TurnKEs(
       mentions: Seq[Mention],
       statements: Seq[Statement],
+      events: Seq[Mention],
+      eventArgs: Seq[EventArg],
       error: String)
 
   private val mdLocal: ThreadLocal[MessageDigest] = new ThreadLocal[MessageDigest] {
@@ -108,7 +114,7 @@ object MentionExtractor {
   def extractTurn(t: Turn): TurnKEs = {
     try {
       if (t.role == "tool" || t.text == null || t.text.isEmpty)
-        return TurnKEs(Nil, Nil, null)
+        return TurnKEs(Nil, Nil, Nil, Nil, null)
       val toks = tokenize(t.text)
       val sp = spans(toks)
       val mentions = sp.map { s =>
@@ -120,14 +126,16 @@ object MentionExtractor {
       }.toVector
       // trigger detection between consecutive spans: S1 <verb|phrase> S2
       val stmts = List.newBuilder[Statement]
+      val events = List.newBuilder[Mention]
+      val eventArgs = List.newBuilder[EventArg]
       val spArr = sp.toArray
       val tokIdx = toks.zipWithIndex.toMap
       def tokPos(tk: Tok): Int = tokIdx(tk)
       var k = 0
       while (k + 1 < spArr.length) {
         val s1 = spArr(k); val s2 = spArr(k + 1)
-        val between = toks.slice(tokPos(s1.tokens.last) + 1, tokPos(s2.tokens.head))
-          .map(_.clean.toLowerCase)
+        val betweenToks = toks.slice(tokPos(s1.tokens.last) + 1, tokPos(s2.tokens.head))
+        val between = betweenToks.map(_.clean.toLowerCase)
         val verb: Option[String] = between match {
           case Array(v) if Lexicon.triggers.contains(v) => Some(v)
           case Array(a, b) if Lexicon.phraseTriggers.contains(s"$a $b") =>
@@ -141,6 +149,17 @@ object MentionExtractor {
             md5(s"${t.conv_id}|${t.turn_idx}|$pred|${m1.mention_id}|${m2.mention_id}"),
             m1.mention_id, pred, m2.mention_id, conf(pred + m1.mention_id),
             t.conv_id, t.turn_idx, s1.start, s2.end)
+          // event mention: the trigger span IS the event (kind="event",
+          // etype = event type, name = trigger surface text — the
+          // reference's event json head carries exactly trigger text +
+          // typed args, update_kg/Updater.py:323-345)
+          val evId = md5(s"${t.conv_id}|${t.turn_idx}|ev|$pred|${m1.mention_id}|${m2.mention_id}")
+          val trigText = betweenToks.map(_.clean).mkString(" ")
+          events += Mention(evId, t.conv_id, t.turn_idx, "event", pred,
+            trigText, v, betweenToks.head.start, betweenToks.last.end,
+            conf(evId), null)
+          eventArgs += EventArg(evId, "Subject", m1.mention_id)
+          eventArgs += EventArg(evId, "Object", m2.mention_id)
           // optional place clause: ... S2 in S3(GPE)
           if (k + 2 < spArr.length) {
             val s3 = spArr(k + 2)
@@ -152,15 +171,17 @@ object MentionExtractor {
                 md5(s"${t.conv_id}|${t.turn_idx}|$pred.Place|${m1.mention_id}|${m3.mention_id}"),
                 m1.mention_id, pred + ".Place", m3.mention_id, conf(pred + m3.mention_id),
                 t.conv_id, t.turn_idx, s1.start, s3.end)
+              eventArgs += EventArg(evId, "Place", m3.mention_id)
             }
           }
         }
         k += 1
       }
-      TurnKEs(mentions, stmts.result(), null)
+      TurnKEs(mentions, stmts.result(), events.result(), eventArgs.result(), null)
     } catch {
       case e: Exception =>
-        TurnKEs(Nil, Nil, s"${t.conv_id}/${t.turn_idx}: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        TurnKEs(Nil, Nil, Nil, Nil,
+          s"${t.conv_id}/${t.turn_idx}: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
   }
 

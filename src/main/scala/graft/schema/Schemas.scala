@@ -58,6 +58,16 @@ final case class Statement(
     start_off: Int,
     end_off: Int)
 
+/** Typed event-argument edge: event mention → entity mention with a
+  * role label — the analog of the reference's per-entity-type event
+  * argument lists in the event json head
+  * (update_kg/Updater.py:323-345: trigger `text[]` + typed argument
+  * arrays keyed by entity type). Roles here: Subject | Object | Place. */
+final case class EventArg(
+    event_id: String,
+    role: String,
+    arg_id: String)
+
 /** Cross-mention match edge produced by the linker (blocking +
   * scoring); input to connected components. */
 final case class MatchEdge(src: Long, dst: Long)

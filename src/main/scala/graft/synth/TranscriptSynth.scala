@@ -217,6 +217,27 @@ object TranscriptSynth {
     spark.range(0L, n, 1L, parts).map(i => turnAt(cfg, i))
   }
 
+  /** Golden named event frames at canonical-name granularity: one
+    * entry per expected EVENT CLUSTER — facts with identical
+    * (event type, subject family, object family, place family) are
+    * coreferent events; the value is the expected member count. The
+    * ID-insensitive parity target for event coreference (same
+    * content-comparison contract as [[goldenTriples]]). */
+  def goldenEventFrames(cfg: Config): Map[(String, String, String, String), Long] = {
+    val out = scala.collection.mutable.Map.empty[(String, String, String, String), Long]
+    var i = 0L
+    while (i < cfg.nTurns) {
+      factAt(cfg, i).foreach { f =>
+        val pred = Lexicon.triggers(f.verb)._1
+        val key = (pred, canonical(cfg, f.subjFam), canonical(cfg, f.objFam),
+          if (f.placeFam >= 0) canonical(cfg, f.placeFam) else null)
+        out(key) = out.getOrElse(key, 0L) + 1L
+      }
+      i += 1
+    }
+    out.toMap
+  }
+
   /** Golden corpus-level triple set at canonical-name granularity —
     * the ID-insensitive parity target (SURVEY.md §5.1; reference IDs
     * are random, update_kg/Updater.py:156-158, so comparison is by

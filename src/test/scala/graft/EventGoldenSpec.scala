@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.canon.EventCoref
+import graft.synth.TranscriptSynth
+
+/** Golden-fixture event-coreference parity: planted facts with
+  * identical (type, subject, object, place) families must land in ONE
+  * event cluster; distinct facts must not merge. Compared at
+  * canonical-name granularity (ID-insensitive, same contract as the
+  * triple golden — SURVEY.md §5.1), P/R ≥ 0.95. */
+class EventGoldenSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("event cluster frames P/R >= 0.95 on golden corpus") {
+    val cfg = TranscriptSynth.Config(nConvs = 300, turnsPerConv = 10)
+    val r = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = 8))
+    val frames = EventCoref
+      .namedFrames(r.eventClusters, r.eventArgs, r.memberships, r.prototypes)
+      .collect()
+      .map(x => (x.getString(1), x.getString(2), x.getString(3), x.getString(4)) -> x.getLong(5))
+      .toMap
+    val golden = TranscriptSynth.goldenEventFrames(cfg)
+
+    val tp = (frames.keySet intersect golden.keySet).size.toDouble
+    val precision = tp / frames.size
+    val recall = tp / golden.size
+    info(f"emitted=${frames.size} golden=${golden.size} P=$precision%.4f R=$recall%.4f")
+    assert(precision >= 0.95, f"event precision $precision%.4f < 0.95")
+    assert(recall >= 0.95, f"event recall $recall%.4f < 0.95")
+
+    // member counts agree on the matched frames (coreferent events
+    // actually merged, not just frame keys coinciding)
+    val matched = frames.keySet intersect golden.keySet
+    val agree = matched.count(k => frames(k) == golden(k)).toDouble / matched.size
+    assert(agree >= 0.95, f"member-count agreement $agree%.4f < 0.95")
+
+    // every emitted event mention belongs to exactly one cluster
+    assert(r.eventMemberships.count() == r.events.count())
+  }
+
+  test("event prototypes carry kind=event, the event type, and mode trigger name") {
+    val cfg = TranscriptSynth.Config(nConvs = 40, turnsPerConv = 8)
+    val r = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = 4))
+    val protos = r.eventPrototypes.collect()
+    assert(protos.nonEmpty)
+    assert(protos.forall(_.kind == "event"))
+    val types = protos.map(_.etype).toSet
+    assert(types.subsetOf(graft.extract.Lexicon.triggers.values.map(_._1).toSet))
+    // n_members totals match the event mention count
+    assert(protos.map(_.n_members).sum == r.events.count())
+  }
+}

@@ -50,6 +50,31 @@ class ExtractorSpec extends AnyFunSuite {
     assert(ke2.statements.map(_.pred) == List("Movement.Travel"))
   }
 
+  test("emits an event mention per trigger with typed args (C8)") {
+    val t = turn("John Smith met Maria Garcia in Paris.")
+    val ke = MentionExtractor.extractTurn(t)
+    assert(ke.events.length == 1)
+    val ev = ke.events.head
+    assert(ev.kind == "event")
+    assert(ev.etype == "Contact.Meet")
+    assert(ev.name == "met")
+    // trigger offsets point at the trigger text
+    assert(t.text.substring(ev.start_off, ev.end_off) == "met")
+    val roles = ke.eventArgs.map(a => a.role -> a.arg_id).toMap
+    assert(ke.eventArgs.forall(_.event_id == ev.mention_id))
+    def nameOf(id: String) = ke.mentions.find(_.mention_id == id).get.name
+    assert(nameOf(roles("Subject")) == "John Smith")
+    assert(nameOf(roles("Object")) == "Maria Garcia")
+    assert(nameOf(roles("Place")) == "Paris")
+  }
+
+  test("phrase trigger event keeps the surface text as name") {
+    val ke = MentionExtractor.extractTurn(turn("Ivan Petrov works at Acme Corp."))
+    assert(ke.events.map(e => (e.etype, e.name, e.norm_name)) ==
+      List(("Affiliation.Employment", "works at", "joined")))
+    assert(ke.eventArgs.map(_.role).sorted == List("Object", "Subject"))
+  }
+
   test("tool turns and filler produce nothing") {
     assert(MentionExtractor.extractTurn(
       turn("""tool output: {"status": "ok"}""", "tool")).mentions.isEmpty)

@@ -22,7 +22,14 @@ class ResumeSpec extends AnyFunSuite {
     val n1 = Main.runResumable(spark, turns, store)
     assert(n1 > 0)
     val stages = store.manifestEntries().size
-    assert(stages == 9) // ke..triples all snapshotted
+    assert(stages == 16) // ke..triples + events/relations/justifications
+    // the event/relation/justification stages are genuinely populated
+    assert(store.read(spark, "event_clusters").get.count() > 0)
+    assert(store.read(spark, "event_prototypes").get.count() > 0)
+    assert(store.read(spark, "relation_clusters").get.count() > 0)
+    assert(store.read(spark, "cluster_justifications").get.count() > 0)
+    assert(store.read(spark, "proto_justifications").get.count() > 0)
+    assert(store.read(spark, "superedge_justifications").get.count() > 0)
 
     val t1 = store.read(spark, "triples").get.collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
