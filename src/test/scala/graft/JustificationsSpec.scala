@@ -75,6 +75,41 @@ class JustificationsSpec extends AnyFunSuite {
     assert(merged.get.getLong(3) == 2)
   }
 
+  test("prototype justification copy-backs carry every member span (proto_justi)") {
+    import spark.implicits._
+    val mentions = Seq(m("m1", "doc1", 0.8), m("m2", "doc2", 0.9)).toDS()
+    val ms = Seq(mem("c1", "m1"), mem("c1", "m2")).toDS()
+    val protos = Seq(graft.schema.Prototype("p1", "c1", "entity", "X",
+      "Person", null, 2L)).toDS()
+    val pj = Justifications.prototypeJustifications(ms, mentions, protos).collect()
+    assert(pj.length == 2) // one row per MEMBER, not an argmax
+    assert(pj.forall(_.getString(0) == "p1"))
+    assert(pj.map(_.getString(2)).toSet == Set("m1", "m2"))
+
+    val pij = Justifications
+      .prototypeInformativeJustifications(ms, mentions, protos).collect()
+    assert(pij.length == 2) // one per (cluster, doc) — two docs here
+    assert(pij.forall(_.getString(0) == "p1"))
+
+    val ptj = Justifications
+      .prototypeTypeAssertionJustifications(ms, mentions, protos).collect()
+    assert(ptj.length == 2)
+    assert(ptj.forall(_.getString(2) == "Person")) // asserted type carried
+  }
+
+  test("superedge justification copy: every member statement's span (super_edge_justif)") {
+    import spark.implicits._
+    def st(id: String, s: String, o: String) =
+      Statement(id, s, "Rel", o, 0.9, "d", 0, 3, 9)
+    val ms = Seq(mem("cA", "a1"), mem("cA", "a2"), mem("cB", "b1")).toDS()
+    val stmts = Seq(st("s1", "a1", "b1"), st("s2", "a2", "b1")).toDS()
+    val sj = Justifications.superEdgeJustifications(stmts, ms).collect()
+    assert(sj.length == 2) // both member statements' justifications kept
+    assert(sj.forall(r => r.getString(0) == "cA" && r.getString(2) == "cB"))
+    assert(sj.map(_.getString(3)).toSet == Set("s1", "s2"))
+    assert(sj.forall(r => r.getInt(6) == 3 && r.getInt(7) == 9))
+  }
+
   test("jl cluster file round-trip (S8)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jl").toString + "/clusters.jl"

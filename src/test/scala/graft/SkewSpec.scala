@@ -35,4 +35,18 @@ class SkewSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).sorted
     assert(sizes.last > 10 * sizes(sizes.length / 2))
   }
+
+  test("pipeline auto-selects the salted membership path above the size threshold") {
+    val cfg = TranscriptSynth.Config(nConvs = 120, turnsPerConv = 8, hotPct = 40)
+    val turns = TranscriptSynth.turnsDs(spark, cfg, partitions = 6)
+    // default: surface dict is tiny → broadcast path
+    val plain = Pipeline.run(turns)
+    // threshold 0 forces every corpus over it → salted path taken
+    val forced = Pipeline.run(turns, saltedMembershipRows = 0L)
+    val a = plain.memberships.collect().map(m => (m.cluster_id, m.member_id)).toSet
+    val b = forced.memberships.collect().map(m => (m.cluster_id, m.member_id)).toSet
+    assert(a == b) // path switch is invisible in the output
+    // and downstream triples are identical through either path
+    assert(plain.triples.collect().toSet == forced.triples.collect().toSet)
+  }
 }
