@@ -18,11 +18,27 @@ object Bench {
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** (steal, total-busy) cpu jiffies from /proc/stat — the sandbox VM
+    * shows hypervisor steal comparable to user time, so every bench
+    * line carries the steal observed DURING the run; numbers with
+    * high steal_sec are weather, not engine. */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      val cpu = try f.getLines().next().trim.split("\\s+") finally f.close()
+      val vals = cpu.drop(1).map(_.toLong)
+      (vals.lift(7).getOrElse(0L), vals.take(3).sum)
+    } catch { case _: Exception => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val pipeTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "400000").toLong
+    // ≥2M turns so the pipeline number measures the engine's data
+    // path, not the ~100-stage local-mode scheduling floor
+    // (BASELINE.md "Post-fix (G1) single-run data points")
+    val pipeTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "2000000").toLong
     val spark = Sessions.local(cpus, "graft-bench")
+    val (steal0, busy0) = cpuJiffies()
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed[T](name: String)(f: => T): T = {
@@ -31,6 +47,15 @@ object Bench {
       timings(name) = (System.nanoTime() - t0) / 1e9
       r
     }
+    def emit(nTriples: Long, nTurns: Long, turnsPerSec: Double): Unit = {
+      val (steal1, busy1) = cpuJiffies()
+      val qs = timings.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      println(
+        f"""{"metric":"total","value":${timings.values.sum}%.3f,"unit":"sec","queries":$qs,""" +
+          f""""sf":"$sfDir","bench_turns":$nTurns,"kg_triples":$nTriples,""" +
+          f""""turns_per_sec":$turnsPerSec%.1f,"cores":$cpus,""" +
+          f""""steal_sec":${(steal1 - steal0) / 100.0}%.1f,"busy_sec":${(busy1 - busy0) / 100.0}%.1f}""")
+    }
 
     // 1. headline: full KG pipeline over synthetic transcripts.
     // min of 2 runs: the sandbox VM shows heavy hypervisor steal time
@@ -38,16 +63,40 @@ object Bench {
     // clock is unreliable; min is the cleanest estimator under
     // one-sided noise (also absorbs first-run JIT).
     var nTriples = 0L
+    var lastResult: Pipeline.Result = null
     val cfg = TranscriptSynth.Config(
       nConvs = (pipeTurns / 10).toInt, turnsPerConv = 10)
     def onePipeline(): Double = {
       val t0 = System.nanoTime()
       val r = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = cpus * 2))
       nTriples = r.triples.count()
+      lastResult = r
       (System.nanoTime() - t0) / 1e9
     }
     timings("kg_pipeline") = math.min(onePipeline(), onePipeline())
     val turnsPerSec = cfg.nTurns / timings("kg_pipeline")
+
+    // SPARK_GRAFT_BENCH_MODE=pipeline → headline only (the N vs 4N
+    // scaling-protocol runs; see BASELINE.md)
+    val pipelineOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("pipeline")
+    if (pipelineOnly) {
+      emit(nTriples, cfg.nTurns, turnsPerSec)
+      spark.stop()
+      return
+    }
+
+    // 1b. the full KG output surface beyond triples: event coreference,
+    // relation clusters, justification/link aggregation + copy-backs
+    // (lazy plans over the run's checkpointed stages)
+    timed("kg_full_outputs") {
+      val r = lastResult
+      force(r.eventPrototypes.toDF())
+      force(r.relationClusters)
+      force(r.informativeJustifications)
+      force(r.clusterLinks)
+      force(r.protoJustifications)
+      force(r.superEdgeJustifications)
+    }
 
     // 2. extraction-only throughput (mention detection stage)
     timed("extract_only") {
@@ -66,12 +115,7 @@ object Bench {
       }
     }
 
-    val total = timings.values.sum
-    val qs = timings.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-        f""""sf":"$sfDir","bench_turns":${cfg.nTurns},"kg_triples":$nTriples,""" +
-        f""""turns_per_sec":$turnsPerSec%.1f,"cores":$cpus}""")
+    emit(nTriples, cfg.nTurns, turnsPerSec)
     spark.stop()
   }
 

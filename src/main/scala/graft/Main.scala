@@ -131,7 +131,10 @@ object Main {
     // under spark-submit the master comes from the launcher; standalone
     // dev runs fall back to a tuned local session
     val session =
-      if (sys.props.contains("spark.master")) SparkSession.builder().getOrCreate()
+      if (sys.props.contains("spark.master"))
+        SparkSession.builder()
+          .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+          .getOrCreate()
       else Sessions.local(cores)
     val store = new SnapshotStore(output)
     val cfg = Linker.Config(threshold =

@@ -17,6 +17,9 @@ object Sessions {
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", dir))
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // native scalar kernels (minhash/simhash/cosine/lsh) — see
+      // graft.functions.GraftExtensions
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // AQE default on (skew-join splitting, coalescing); SPARK_GRAFT_AQE=false
       // disables it for overhead A/B — each AQE stage re-optimizes on the
       // driver, which dominates when a pipeline has many tiny shuffles

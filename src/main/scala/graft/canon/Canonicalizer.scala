@@ -107,9 +107,11 @@ object Canonicalizer {
     out
   }
 
-  /** Surface-level kind column for surfClusters (entities only in the
-    * current extractor; kept explicit for parity with the reference's
-    * three cluster kinds). */
+  /** Surface-level kind column for surfClusters. Surface clusters are
+    * entity-kind BY CONSTRUCTION ([[graft.link.Linker.surfaces]]
+    * filters kind="entity"); the reference's other two cluster kinds
+    * have their own paths — events in [[EventCoref]] (kind="event"),
+    * relations in [[RelationClusters]]. */
   def withKind(surfClusters: DataFrame): DataFrame =
     surfClusters.withColumn("kind", lit("entity"))
 

@@ -129,6 +129,38 @@ object Justifications {
         col("start_off"), col("end_off"), col("conf"))
   }
 
+  /** Modality-typed cluster informative justifications — the
+    * reference's `generate_cluster_inf_just_df` pandas loop
+    * (update_kg/Updater.py:360-487): members' justification rows
+    * (sparse CSV columns per modality — text offsets, image/keyframe
+    * bounding boxes, shot id, audio timestamps) are argmaxed by
+    * confidence per (cluster, source doc), and the winner is emitted
+    * as a typed record tagged with its modality. The reference's
+    * replace-on-strictly-greater iteration makes ties order-dependent;
+    * we tie-break deterministically (entity asc, then just_type) —
+    * documented divergence, same class as SURVEY.md §7.4.1. NaN→0
+    * bbox coercion is the reader's job
+    * ([[graft.sources.SideFormats.readInfJustCsv]], Updater.py:462-465). */
+  def clusterModalityJustifications(memberships: Dataset[Membership],
+      ij: DataFrame): DataFrame = {
+    val j = memberships.toDF()
+      .select(col("cluster_id"), col("member_id").as("entity"))
+      .join(ij, "entity")
+    val w = Window.partitionBy(col("cluster_id"), col("just_doc"))
+      .orderBy(col("just_confidence_value").desc, col("entity").asc,
+        col("just_type").asc)
+    j.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .withColumn("modality",
+        when(col("just_type") === "aida:TextJustification", "text")
+          .when(col("just_type") === "aida:ImageJustification", "image")
+          .when(col("just_type") === "aida:KeyFrameVideoJustification", "keyframe_video")
+          .when(col("just_type") === "aida:ShotVideoJustification", "shot_video")
+          .when(col("just_type") === "aida:AudioJustification", "audio")
+          .otherwise("unknown"))
+  }
+
   /** P9: deterministic DUMMY link synthesis for NIL mentions — the
     * reference's global counter (json_head/get_json_head.py:10,18-20)
     * replaced by a content hash so re-runs emit identical links

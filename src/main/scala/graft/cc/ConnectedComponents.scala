@@ -1,6 +1,6 @@
 package graft.cc
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /**
@@ -69,12 +69,19 @@ object ConnectedComponents {
       // O(diameter)
       val propRight = prop
         .select(col("sid").as("y_sid"), col("component").as("y_component"))
+      // convergence test FUSED into the checkpoint job via observe():
+      // the changed-label count rides the same pass that materializes
+      // the round — no third job per round
+      val obs = Observation(s"cc_changed_$iter")
       val next = prop
         .join(propRight, col("component") === col("y_sid"), "left_outer")
         .select(col("sid"), col("old"),
           coalesce(col("y_component"), col("component")).as("component"))
+        .observe(obs, coalesce(sum(
+          when(col("old") =!= col("component"), 1L).otherwise(0L)), lit(0L))
+          .as("changed"))
         .localCheckpoint(true)
-      changed = next.filter(col("old") =!= col("component")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = next.select(col("sid"), col("component"))
       iter += 1
     }

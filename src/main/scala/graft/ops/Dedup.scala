@@ -55,25 +55,20 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
-  /** MinHash signatures: K permutations simulated by seeded xxhash64
-    * of each shingle; signature[i] = min over shingles. Word shingles
-    * (k words) keep candidate generation cheap at corpus scale.
+  /** MinHash signatures: K permutations of word-k-shingle hashes via
+    * the Carter-Wegman affine family h_i = h1 + i·h2 (2 xxh64 calls
+    * per shingle for all K minima); signature[i] = min over shingles.
     *
-    * SHUFFLE-FREE: one aggregate() fold over the per-row shingle
-    * array computes all K minima in a single codegen projection — no
-    * explode, no groupBy, nothing crosses the wire. Values are
-    * identical to the explode+min formulation (min over the same
-    * xxhash64(shingle, i) terms). */
-  def minHashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame = {
-    val sig = aggregate(
-      wordShingles(col("text"), k),
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(s, i)),
-        (a, h) => least(a, h)))
-    docs.select(col("doc_id"), sig.as("signature"))
-  }
+    * SHUFFLE-FREE AND NATIVE: one projection through the
+    * [[graft.functions.MinHashSigExpr]] Catalyst expression — no
+    * explode, no groupBy, nothing crosses the wire, and no
+    * per-element interpreted lambda evaluation (the equivalent
+    * aggregate/zip_with/transform Column tree measured ~30× slower:
+    * higher-order functions don't codegen). */
+  def minHashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 16): DataFrame =
+    docs.select(col("doc_id"),
+      call_function("graft_minhash_sig", col("text"), lit(k), lit(numHashes))
+        .as("signature"))
 
   /** LSH banding: near-dup candidate pairs = docs sharing ≥1 band of
     * `rowsPerBand` consecutive minhashes. Bucket join on the band
@@ -120,20 +115,13 @@ object Dedup {
   }
 
   /** SimHash: 64-bit fingerprint; bit j set iff the sum over tokens of
-    * sign(bit j of xxhash64(token)) is positive. Computed bit-parallel
-    * with aggregate() over the token array — no UDF. */
-  def simHash(docs: DataFrame): DataFrame = {
-    val tokens = split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), "\\s+")
-    val hashed = docs.select(col("doc_id"),
-      transform(filter(tokens, t => length(t) > 0), t => xxhash64(t)).as("th"))
-    val bitCols = (0 until 64).map { j =>
-      // per-doc vote for bit j: #tokens with bit set vs not
-      val votes = aggregate(col("th"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j)
-    }
-    hashed.select(col("doc_id"), bitCols.reduce(_ + _).as("simhash"))
-  }
+    * sign(bit j of xxhash64(token)) is positive. One native projection
+    * ([[graft.functions.SimHash64Expr]]); token hashes are
+    * bit-identical to Spark's xxhash64(token), replacing 64
+    * interpreted aggregate() folds per row. */
+  def simHash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      call_function("graft_simhash", col("text")).as("simhash"))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

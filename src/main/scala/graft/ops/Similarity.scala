@@ -17,13 +17,11 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Cosine similarity between two array<float|double> columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, v) => s + v)
-    val na = sqrt(aggregate(a, lit(0.0d), (s, v) => s + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0d), (s, v) => s + v * v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity between two array<float|double> columns — one
+    * native double-precision pass ([[graft.functions.CosineSimExpr]]);
+    * no per-element interpreted lambdas, no cast materialization. */
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
 
   /** Brute-force cosine top-k against one query vector (driver-held,
     * broadcast as a literal array). */
@@ -31,26 +29,20 @@ object Similarity {
     val q = array(query.map(v => lit(v.toDouble)): _*)
     embeddings
       .select(col("vec_id"),
-        round(cosine(col("embedding").cast("array<double>"), q), 6).as("sim"))
+        round(cosine(col("embedding"), q), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
   }
 
   /** Deterministic pseudo-random hyperplane sign for LSH: sign of a
-    * seeded hash-derived weight, applied per dimension. nBits-bit
-    * bucket id per row. Seeded → stable across runs/parallelism. */
-  def lshBuckets(embeddings: DataFrame, nBits: Int = 8, seed: Int = 42): DataFrame = {
-    val bitCols = (0 until nBits).map { b =>
-      // hyperplane b: weight(dim i) = ±1 from xxhash64(b, i); dot > 0 → bit set
-      val proj = aggregate(
-        zip_with(col("embedding").cast("array<double>"),
-          sequence(lit(0), size(col("embedding")) - 1),
-          (v, i) => v * when(xxhash64(lit(seed), lit(b), i).bitwiseAND(1L) === 1L, 1.0d).otherwise(-1.0d)),
-        lit(0.0d), (s, v) => s + v)
-      when(proj > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << b)
-    }
-    embeddings.withColumn("bucket", bitCols.reduce(_ + _))
-  }
+    * seeded hash-derived weight, applied per dimension; nBits-bit
+    * bucket id per row. Seeded → stable across runs/parallelism. One
+    * native projection ([[graft.functions.LshBucketExpr]]; bucket
+    * values bit-identical to the Column-algebra formulation it
+    * replaces). */
+  def lshBuckets(embeddings: DataFrame, nBits: Int = 8, seed: Int = 42): DataFrame =
+    embeddings.withColumn("bucket",
+      call_function("graft_lsh_bucket", col("embedding"), lit(nBits), lit(seed)))
 
   /** LSH-bucketed ANN with MULTI-PROBE: candidates come from the
     * query's bucket plus every bucket within Hamming distance
@@ -79,7 +71,7 @@ object Similarity {
     else {
       val q = array(query.map(v => lit(v.toDouble)): _*)
       cand.select(col("vec_id"),
-          round(cosine(col("embedding").cast("array<double>"), q), 6).as("sim"))
+          round(cosine(col("embedding"), q), 6).as("sim"))
         .orderBy(col("sim").desc, col("vec_id").asc)
         .limit(k)
     }
@@ -94,8 +86,8 @@ object Similarity {
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.embedding").cast("array<double>"),
-          col("b.embedding").cast("array<double>")), 6).as("sim"))
+        round(cosine(col("a.embedding"),
+          col("b.embedding")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -105,8 +97,8 @@ object Similarity {
     val e = embeddings.select(col("vec_id"), col("embedding"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.embedding").cast("array<double>"),
-          col("b.embedding").cast("array<double>")), 6).as("sim"))
+        round(cosine(col("a.embedding"),
+          col("b.embedding")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

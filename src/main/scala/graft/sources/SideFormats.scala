@@ -59,6 +59,46 @@ object SideFormats {
         "ulx" -> z("ulx"), "uly" -> z("uly"), "lrx" -> z("lrx"), "lry" -> z("lry")))
   }
 
+  /** json-head `entity.json` analog
+    * (/root/reference/json_head/get_json_head.py:12-30: ent_uri →
+    * [name, type, linkTarget], NIL → DUMMY counter): one JSON object
+    * per line — the distributed form of the reference's single dict
+    * (a driver-side dict collect would not scale; `cat` of the part
+    * files is the dict's entry set). DUMMY links are deterministic
+    * content hashes, not a global counter (SURVEY.md §7.4). */
+  def writeEntityJson(mentions: DataFrame, path: String): Unit =
+    graft.canon.Justifications.withDummyLinks(mentions)
+      .select(to_json(struct(
+        col("mention_id").as("entity"), col("name"),
+        col("etype").as("type"), col("link_target").as("link"))).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** json-head `cluster.json` analog (get_json_head.py:33-46:
+    * cluster_uri → [[members], [prototypes]]): one line per cluster. */
+  def writeClusterJson(memberships: Dataset[Membership],
+      prototypes: DataFrame, path: String): Unit =
+    memberships.toDF()
+      .groupBy(col("cluster_id"))
+      .agg(sort_array(collect_set(col("member_id"))).as("members"))
+      .join(prototypes.select(col("cluster_id"), col("prototype_id")), "cluster_id")
+      .select(to_json(struct(col("cluster_id"), col("members"),
+        array(col("prototype_id")).as("prototypes"))).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** json-head `event.json` analog (get_json_head.py:49-61: evt_uri →
+    * {type, doc, text[], entities[]}): one line per event mention. */
+  def writeEventJson(events: DataFrame, eventArgs: DataFrame, path: String): Unit =
+    events
+      .select(col("mention_id").as("event_id"), col("etype").as("type"),
+        col("conv_id").as("doc"), col("name"))
+      .join(eventArgs.groupBy(col("event_id"))
+        .agg(sort_array(collect_set(col("arg_id"))).as("entities")),
+        Seq("event_id"), "left_outer")
+      .select(to_json(struct(col("event_id"), col("type"), col("doc"),
+        array(col("name")).as("text"),
+        coalesce(col("entities"), array()).as("entities"))).as("value"))
+      .write.mode("overwrite").text(path)
+
   /** Links CSV: entity, link_target, link_cv (Updater.py:489-507). */
   val linksSchema: StructType = StructType(Seq(
     StructField("entity", StringType), StructField("link_target", StringType),

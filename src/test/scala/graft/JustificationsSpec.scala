@@ -110,6 +110,67 @@ class JustificationsSpec extends AnyFunSuite {
     assert(sj.forall(r => r.getInt(6) == 3 && r.getInt(7) == 9))
   }
 
+  test("modality-typed cluster justifications: per-doc argmax over all five modalities") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ij").toString + "/ij.csv"
+    val csv = Seq(
+      "entity,just_type,just_doc,just_source,just_confidence_value,so,eo,kfid,ulx,uly,lrx,lry,sid,st,et",
+      "m1,aida:TextJustification,docA,s1,0.9,5,17,,,,,,,,",
+      "m2,aida:TextJustification,docA,s1,0.4,1,2,,,,,,,,",       // loses docA argmax
+      "m1,aida:ImageJustification,docB,s2,0.8,,,,10,20,NaN,40,,,", // NaN bbox → 0
+      "m2,aida:KeyFrameVideoJustification,docC,s3,0.7,,,kf9,1,2,3,4,,,",
+      "m1,aida:ShotVideoJustification,docD,s4,0.6,,,,,,,,shot7,,",
+      "m2,aida:AudioJustification,docE,s5,0.5,,,,,,,,,00:01,00:09")
+    Files.write(java.nio.file.Paths.get(dir), csv.mkString("\n").getBytes)
+    val ij = SideFormats.readInfJustCsv(spark, dir)
+    val ms = Seq(mem("c1", "m1"), mem("c1", "m2")).toDS()
+    val out = Justifications.clusterModalityJustifications(ms, ij).collect()
+    assert(out.length == 5) // one winner per (cluster, doc)
+    val byDoc = out.map(r => r.getAs[String]("just_doc") -> r).toMap
+    assert(byDoc("docA").getAs[String]("entity") == "m1") // conf argmax
+    assert(byDoc("docA").getAs[String]("modality") == "text")
+    assert(byDoc("docA").getAs[Int]("so") == 5)
+    assert(byDoc("docB").getAs[String]("modality") == "image")
+    assert(byDoc("docB").getAs[Int]("lrx") == 0) // NaN→0 (P13)
+    assert(byDoc("docC").getAs[String]("modality") == "keyframe_video")
+    assert(byDoc("docC").getAs[String]("kfid") == "kf9")
+    assert(byDoc("docD").getAs[String]("modality") == "shot_video")
+    assert(byDoc("docD").getAs[String]("sid") == "shot7")
+    assert(byDoc("docE").getAs[String]("modality") == "audio")
+    assert(byDoc("docE").getAs[String]("et") == "00:09")
+  }
+
+  test("json-head export analogs: entity/cluster/event json lines") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("jsonhead").toString
+    // entity.json: [name, type, link]; NIL → deterministic DUMMY
+    val mentions = Seq(m("m1", "d", 0.9, "kb:X"), m("m2", "d", 0.8)).toDS().toDF()
+    SideFormats.writeEntityJson(mentions, s"$base/entity")
+    val ent = spark.read.json(s"$base/entity").collect()
+      .map(r => r.getAs[String]("entity") -> r.getAs[String]("link")).toMap
+    assert(ent("m1") == "kb:X")
+    assert(ent("m2").startsWith("DUMMY:"))
+    // cluster.json: [[members], [prototypes]]
+    val ms = Seq(mem("c1", "m1"), mem("c1", "m2")).toDS()
+    val protos = Seq(("c1", "p1")).toDF("cluster_id", "prototype_id")
+    SideFormats.writeClusterJson(ms, protos, s"$base/cluster")
+    val cl = spark.read.json(s"$base/cluster").collect().head
+    assert(cl.getAs[scala.collection.Seq[String]]("members").toSeq == Seq("m1", "m2"))
+    assert(cl.getAs[scala.collection.Seq[String]]("prototypes").toSeq == Seq("p1"))
+    // event.json: {type, doc, text[], entities[]}
+    val events = Seq(
+      Mention("ev1", "conv1", 0, "event", "Contact.Meet", "met", "met",
+        0, 3, 0.9, null)).toDS().toDF()
+    val args = Seq(("ev1", "Subject", "m1"), ("ev1", "Object", "m2"))
+      .toDF("event_id", "role", "arg_id")
+    SideFormats.writeEventJson(events, args, s"$base/event")
+    val ev = spark.read.json(s"$base/event").collect().head
+    assert(ev.getAs[String]("type") == "Contact.Meet")
+    assert(ev.getAs[String]("doc") == "conv1")
+    assert(ev.getAs[scala.collection.Seq[String]]("text").toSeq == Seq("met"))
+    assert(ev.getAs[scala.collection.Seq[String]]("entities").toSeq == Seq("m1", "m2"))
+  }
+
   test("jl cluster file round-trip (S8)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jl").toString + "/clusters.jl"

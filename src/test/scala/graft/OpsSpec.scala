@@ -85,6 +85,16 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == brute)
   }
 
+  test("native simhash token hashes are bit-identical to Spark xxhash64") {
+    // a single-token doc's simhash IS its token hash (every bit's vote
+    // is that token's bit) — pins the native kernel to Spark's xxhash64
+    val d = docs(1L -> "hello")
+    val sh = Dedup.simHash(d).collect().head.getLong(1)
+    import spark.implicits._
+    val ref = Seq("hello").toDF("t").select(xxhash64(col("t"))).head().getLong(0)
+    assert(sh == ref)
+  }
+
   test("minhash candidates reject a signature-width desync loudly") {
     val d = docs(1L -> "a b c d e", 2L -> "f g h i j")
     val sigs8 = Dedup.minHashSignatures(d, numHashes = 8)
