@@ -66,6 +66,18 @@ object Bench {
     var lastResult: Pipeline.Result = null
     val cfg = TranscriptSynth.Config(
       nConvs = (pipeTurns / 10).toInt, turnsPerConv = 10)
+
+    // SPARK_GRAFT_BENCH_MODE=extract → the data-dominant stage alone,
+    // min-of-2 (per-stage scaling evidence for the floor attribution)
+    if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("extract")) {
+      timed("extract_1") { MentionExtractor_forceCount(spark, cfg) }
+      timed("extract_2") { MentionExtractor_forceCount(spark, cfg) }
+      timings("extract_only") = math.min(timings("extract_1"), timings("extract_2"))
+      emit(0L, cfg.nTurns, cfg.nTurns / timings("extract_only"))
+      spark.stop()
+      return
+    }
+
     def onePipeline(): Double = {
       val t0 = System.nanoTime()
       val r = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = cpus * 2))
@@ -84,6 +96,7 @@ object Bench {
       spark.stop()
       return
     }
+
 
     // 1b. the full KG output surface beyond triples: event coreference,
     // relation clusters, justification/link aggregation + copy-backs

@@ -183,6 +183,19 @@ object SparkEntry {
         .select(col("relation_cluster_id"), col("rel_key"),
           array_join(col("member_stmts"), ",").as("members"), col("n_members"))
     }),
+    "q_connected_components" -> ((s, d) => { // C4: the REAL CC operator,
+      // DuckDB-oracled via a recursive-CTE transitive closure on a
+      // deterministic bipartite user↔payload graph from `events`
+      val ev = t(s, d, "events")
+      val edges = ev
+        .filter(col("user_id") < 200 &&
+          get_json_object(col("props"), "$.k").isNotNull)
+        .select(col("user_id").as("src"),
+          (get_json_object(col("props"), "$.k").cast("long") + 100000L).as("dst"))
+        .distinct()
+      graft.cc.ConnectedComponents.run(edges)
+        .select(col("sid"), col("component"))
+    }),
     "q_proto_justi" -> ((s, d) => { // prototype justification copy-back
       val (mentions, ms, protos) = fabricatedClusters(s, d)
       Justifications.prototypeJustifications(ms, mentions, protos)
@@ -400,6 +413,18 @@ object SparkEntry {
         |       string_agg(stmt_id, ',' ORDER BY stmt_id) AS members,
         |       count(*) AS n_members
         |FROM k GROUP BY rel_key""".stripMargin,
+    "q_connected_components" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT user_id AS src,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) + 100000 AS dst
+        |  FROM events
+        |  WHERE user_id < 200 AND json_extract_string(props, '$.k') IS NOT NULL),
+        |e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+        |reach(v, u) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT r.v, e.dst FROM reach r JOIN e ON r.u = e.src)
+        |SELECT v AS sid, min(u) AS component FROM reach GROUP BY v""".stripMargin,
     "q_proto_justi" ->
       """SELECT 'p:' || event_type AS prototype_id,
         |       'c:' || event_type AS cluster_id,
