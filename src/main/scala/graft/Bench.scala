@@ -79,6 +79,10 @@ object Bench {
     }
 
     def onePipeline(): Double = {
+      // drop the previous run's checkpoint blocks first: event-log
+      // profiling showed run 2's ke checkpoint at 5x run 1's executor
+      // time with ~25% GC purely from run 1's pinned blocks
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       val r = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = cpus * 2))
       nTriples = r.triples.count()

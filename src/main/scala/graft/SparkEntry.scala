@@ -413,6 +413,38 @@ object SparkEntry {
         |       string_agg(stmt_id, ',' ORDER BY stmt_id) AS members,
         |       count(*) AS n_members
         |FROM k GROUP BY rel_key""".stripMargin,
+    "q_langid" ->
+      """WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+        |s AS (
+        |  SELECT doc_id, 'de' AS lang, CAST(
+        |      (length(p)-length(replace(p,' der ','')))/5
+        |    + (length(p)-length(replace(p,' und ','')))/5
+        |    + (length(p)-length(replace(p,' die ','')))/5
+        |    + (length(p)-length(replace(p,' nicht ','')))/7 AS BIGINT) AS score FROM padded
+        |  UNION ALL
+        |  SELECT doc_id, 'en', CAST(
+        |      (length(p)-length(replace(p,' the ','')))/5
+        |    + (length(p)-length(replace(p,' and ','')))/5
+        |    + (length(p)-length(replace(p,' of ','')))/4
+        |    + (length(p)-length(replace(p,' to ','')))/4 AS BIGINT) FROM padded
+        |  UNION ALL
+        |  SELECT doc_id, 'es', CAST(
+        |      (length(p)-length(replace(p,' el ','')))/4
+        |    + (length(p)-length(replace(p,' que ','')))/5
+        |    + (length(p)-length(replace(p,' los ','')))/5
+        |    + (length(p)-length(replace(p,' una ','')))/5 AS BIGINT) FROM padded
+        |  UNION ALL
+        |  SELECT doc_id, 'fr', CAST(
+        |      (length(p)-length(replace(p,' le ','')))/4
+        |    + (length(p)-length(replace(p,' la ','')))/4
+        |    + (length(p)-length(replace(p,' et ','')))/4
+        |    + (length(p)-length(replace(p,' les ','')))/5 AS BIGINT) FROM padded),
+        |r AS (SELECT doc_id, lang, score,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn,
+        |        max(score) OVER (PARTITION BY doc_id) AS mx
+        |      FROM s)
+        |SELECT doc_id, CASE WHEN mx = 0 THEN 'en' ELSE lang END AS pred_lang
+        |FROM r WHERE rn = 1""".stripMargin,
     "q_connected_components" ->
       """WITH RECURSIVE base AS (
         |  SELECT DISTINCT user_id AS src,

@@ -77,6 +77,52 @@ object Similarity {
     }
   }
 
+  /** IVF (inverted-file) ANN index: a k-means coarse quantizer
+    * (MLlib, distributed Lloyd iterations) assigns every vector to its
+    * nearest of `nCentroids` centroids — the classic IVF-Flat scale
+    * path: queries touch only the posting lists of their `nprobe`
+    * nearest centroids instead of the corpus. Returns the assigned
+    * DataFrame (embedding + `centroid`) and the driver-held centroid
+    * matrix (k×d doubles — tiny, broadcast-by-literal at query time). */
+  def ivfIndex(embeddings: DataFrame, nCentroids: Int = 16,
+      seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = embeddings.withColumn("features",
+      array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("centroid")
+      .fit(feat)
+    val assigned = model.transform(feat).drop("features")
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** IVF ANN top-k: probe the `nprobe` centroids nearest to the query
+    * (driver-side over the tiny centroid matrix), cosine top-k within
+    * their posting lists; brute-force fallback below k candidates —
+    * same never-under-returns contract as [[lshTopK]]. */
+  def ivfTopK(assigned: DataFrame, centers: Array[Array[Double]],
+      query: Seq[Float], k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val qd = query.map(_.toDouble).toArray
+    def dist2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length && i < qd.length) { val d = c(i) - qd(i); s += d * d; i += 1 }
+      s
+    }
+    val probes = centers.zipWithIndex.sortBy { case (c, _) => dist2(c) }
+      .take(math.max(nprobe, 1)).map(_._2.toLong)
+    val cand = assigned.filter(col("centroid").isin(probes: _*))
+    if (cand.limit(k).count() < k)
+      bruteForceTopK(assigned.drop("centroid"), query, k)
+    else {
+      val q = array(query.map(v => lit(v.toDouble)): _*)
+      cand.select(col("vec_id"),
+          round(cosine(col("embedding"), q), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(k)
+    }
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine ≥ τ,
     * LSH-blocked (pairs only within a bucket) — the embedding-cosine
     * near-dup dedup operator. */

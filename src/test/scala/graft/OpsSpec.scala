@@ -128,6 +128,26 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.map(_.getDouble(1)).max == brute.map(_.getDouble(1)).max)
   }
 
+  test("IVF ANN: probed top-k matches brute force on clustered data; never under-returns") {
+    import spark.implicits._
+    // two tight clusters on different axes + a stray — k-means separates them
+    val rows = (0 until 24).map { i =>
+      val v = if (i % 2 == 0) Seq(1.0f, 0.002f * i, 0f, 0f)
+      else Seq(0f, 0f, 1.0f, 0.002f * i)
+      (i.toLong, v)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val (assigned, centers) = Similarity.ivfIndex(e, nCentroids = 2)
+    val q = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val brute = Similarity.bruteForceTopK(e, q, 5).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(assigned, centers, q, 5, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf == brute) // the query's cluster holds all true neighbors
+    // k larger than the probed posting list → brute-force fallback fills it
+    val big = Similarity.ivfTopK(assigned, centers, q, 20, nprobe = 1).collect()
+    assert(big.length == 20)
+  }
+
   test("langid picks the stopword-dominant language") {
     val d = spark.createDataFrame(Seq(
       (1L, "the cat and the dog went to the market of the town"),
