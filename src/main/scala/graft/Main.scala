@@ -102,6 +102,12 @@ object Main {
     store.getOrCreate(spark, "event_prototypes", fp) {
       graft.canon.EventCoref.prototypes(eventClusters).toDF()
     }
+    store.getOrCreate(spark, "event_cluster_justifications", fp) {
+      // same informative-justification rule, third cluster kind: event
+      // members are mentions with trigger spans
+      graft.canon.Justifications.informativeJustifications(
+        graft.canon.EventCoref.memberships(eventClusters), events)
+    }
     // relation clusters + justification/link aggregation + copy-backs
     // (reference run_all steps 6-8 and the proto/superedge
     // justification inserts, Updater.py:222-256, sparqls.py:391-527)

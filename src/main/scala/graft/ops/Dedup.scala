@@ -101,6 +101,29 @@ object Dedup {
       .distinct()
   }
 
+  /** End-to-end near-duplicate GROUPING: MinHash-LSH candidates →
+    * exact n-gram-Jaccard verification (≥ threshold) → connected
+    * components over the verified pairs → canonical doc = min doc_id
+    * per component (singletons keep themselves). The full
+    * training-data dedup composition: every stage is bucketed or
+    * pair-verified — no all-pairs anywhere — and the component step
+    * reuses the KG pipeline's CC operator.
+    * Output: (doc_id, canon_id, is_dup). */
+  def nearDupClusters(docs: DataFrame, jaccardThreshold: Double = 0.8,
+      k: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val cand = minHashCandidates(minHashSignatures(docs, k, numHashes),
+      rowsPerBand, numHashes)
+    val verified = ngramJaccard(docs, cand)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = graft.cc.ConnectedComponents.run(verified)
+    docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("sid", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canon_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("canon_id"))
+  }
+
   /** Exact n-gram Jaccard similarity for (doc_a, doc_b) candidate
     * pairs — the verification stage after LSH blocking. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 5): DataFrame = {

@@ -128,6 +128,25 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.map(_.getDouble(1)).max == brute.map(_.getDouble(1)).max)
   }
 
+  test("near-dup clustering: LSH→jaccard→CC groups dup families, keeps min id") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today again"
+    val d = docs(
+      1L -> base,
+      2L -> base.replace("today", "tonight"), // near-dup of 1
+      3L -> base.replace("quick", "quik"),    // near-dup of 1 (and 2)
+      4L -> "completely unrelated content about catalyst optimizer internals and shuffles",
+      5L -> "another standalone document with nothing in common at all here")
+    // rowsPerBand=2 → 8 bands of 2: candidate recall ≈ 1-(1-J²)^8,
+    // >0.97 at the ~0.6 word-shingle similarity of these edits
+    val out = Dedup.nearDupClusters(d, jaccardThreshold = 0.5, rowsPerBand = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((1L, false))) // canonical keeps itself
+    assert(out(2L) == ((1L, true)))
+    assert(out(3L) == ((1L, true)))
+    assert(out(4L) == ((4L, false))) // singletons untouched
+    assert(out(5L) == ((5L, false)))
+  }
+
   test("IVF ANN: probed top-k matches brute force on clustered data; never under-returns") {
     import spark.implicits._
     // two tight clusters on different axes + a stray — k-means separates them
