@@ -106,13 +106,17 @@ object Bench {
     // relation clusters, justification/link aggregation + copy-backs
     // (lazy plans over the run's checkpointed stages)
     timed("kg_full_outputs") {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       val r = lastResult
-      force(r.eventPrototypes.toDF())
-      force(r.relationClusters)
-      force(r.informativeJustifications)
-      force(r.clusterLinks)
-      force(r.protoJustifications)
-      force(r.superEdgeJustifications)
+      // independent outputs over the same checkpointed upstreams:
+      // submit concurrently so their stages overlap (what a real
+      // deployment's parallel writers do), instead of serial actions
+      val outs = Seq(r.eventPrototypes.toDF(), r.relationClusters,
+        r.informativeJustifications, r.clusterLinks,
+        r.protoJustifications, r.superEdgeJustifications)
+      Await.result(Future.sequence(outs.map(df => Future(force(df)))), Duration.Inf)
     }
 
     // 2. extraction-only throughput (mention detection stage)

@@ -127,11 +127,17 @@ object Pipeline {
     val eventPrototypes = EventCoref.prototypes(eventKeyed)
 
     val relationClusters = RelationClusters.cluster(statements, memberships)
+    // the three cluster-level justification/link outputs share ONE
+    // memberships ⋈ mentions join — persisted lazily, so consumers that
+    // never touch the justification surface pay nothing, and consumers
+    // that force several outputs scan the join once
+    val annotated = Justifications.annotatedMembers(memberships, mentions)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val informativeJustifications =
-      Justifications.informativeJustifications(memberships, mentions)
-    val clusterLinks = Justifications.clusterLinks(memberships, mentions)
+      Justifications.informativeJustificationsFrom(annotated)
+    val clusterLinks = Justifications.clusterLinksFrom(annotated)
     val protoJustifications =
-      Justifications.prototypeJustifications(memberships, mentions, prototypes)
+      Justifications.prototypeJustificationsFrom(annotated, prototypes)
     val superEdgeJustifications =
       Justifications.superEdgeJustifications(statements, memberships)
 

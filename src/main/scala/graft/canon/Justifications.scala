@@ -27,18 +27,30 @@ import graft.schema.{Membership, Mention, Prototype, Statement}
  */
 object Justifications {
 
+  /** The shared member-annotation join every cluster-level
+    * justification/link aggregate consumes: memberships ⋈ mentions on
+    * unique member_id (1:1, skew-free). Callers producing several
+    * outputs persist THIS once instead of re-joining per output
+    * (membership carries its own constant `conf`, so only the keys are
+    * kept and the mention-level conf is unambiguous). */
+  def annotatedMembers(memberships: Dataset[Membership],
+      mentions: Dataset[Mention]): DataFrame =
+    memberships.toDF().select(col("cluster_id"), col("member_id"))
+      .join(mentions.toDF().withColumnRenamed("mention_id", "member_id"), "member_id")
+
   /** A3, confidence semantics: one row per (cluster, conv) — the
     * member justification with max conf; ties broken by mention_id
     * (deterministic). */
   def informativeJustifications(memberships: Dataset[Membership],
-      mentions: Dataset[Mention]): DataFrame = {
-    // membership carries its own constant `conf`; keep only the keys so
-    // the mention-level conf is unambiguous
-    val j = memberships.toDF().select(col("cluster_id"), col("member_id"))
-      .join(mentions.toDF().withColumnRenamed("mention_id", "member_id"), "member_id")
+      mentions: Dataset[Mention]): DataFrame =
+    informativeJustificationsFrom(annotatedMembers(memberships, mentions))
+
+  /** [[informativeJustifications]] over a precomputed (possibly
+    * persisted) [[annotatedMembers]] join. */
+  def informativeJustificationsFrom(annotated: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("cluster_id"), col("conv_id"))
       .orderBy(col("conf").desc, col("member_id").asc)
-    j.withColumn("rn", row_number().over(w))
+    annotated.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("cluster_id"), col("conv_id"), col("member_id"),
         col("turn_idx"), col("start_off"), col("end_off"), col("conf"))
@@ -58,8 +70,11 @@ object Justifications {
     * excluded (DUMMY semantics). */
   def clusterLinks(memberships: Dataset[Membership],
       mentions: Dataset[Mention]): DataFrame =
-    memberships.toDF().select(col("cluster_id"), col("member_id"))
-      .join(mentions.toDF().withColumnRenamed("mention_id", "member_id"), "member_id")
+    clusterLinksFrom(annotatedMembers(memberships, mentions))
+
+  /** [[clusterLinks]] over a precomputed [[annotatedMembers]] join. */
+  def clusterLinksFrom(annotated: DataFrame): DataFrame =
+    annotated
       .filter(col("link_target").isNotNull)
       .groupBy(col("cluster_id"), col("link_target"))
       .agg(max(col("conf")).as("link_cv"))
@@ -71,10 +86,12 @@ object Justifications {
     * size prototype join — no skew surface. */
   def prototypeJustifications(memberships: Dataset[Membership],
       mentions: Dataset[Mention], prototypes: Dataset[Prototype]): DataFrame =
-    memberships.toDF().select(col("cluster_id"), col("member_id"))
-      .join(mentions.toDF().withColumnRenamed("mention_id", "member_id")
-        .select(col("member_id"), col("conv_id"), col("turn_idx"),
-          col("start_off"), col("end_off"), col("conf")), "member_id")
+    prototypeJustificationsFrom(annotatedMembers(memberships, mentions), prototypes)
+
+  /** [[prototypeJustifications]] over a precomputed [[annotatedMembers]]. */
+  def prototypeJustificationsFrom(annotated: DataFrame,
+      prototypes: Dataset[Prototype]): DataFrame =
+    annotated
       .join(prototypes.toDF().select(col("cluster_id"), col("prototype_id")),
         "cluster_id")
       .select(col("prototype_id"), col("cluster_id"), col("member_id"),
