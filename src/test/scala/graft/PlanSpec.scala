@@ -68,6 +68,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in minhash plan: $plan")
   }
 
+  test("membership join broadcasts the surface dictionary when small") {
+    import spark.implicits._
+    val turns = graft.synth.TranscriptSynth.turnsDs(spark,
+      graft.synth.TranscriptSynth.Config(nConvs = 40, turnsPerConv = 6))
+    val r = Pipeline.run(turns)
+    // r.memberships is checkpointed (its plan is just the checkpoint
+    // scan); audit the JOIN plan by rebuilding it over the
+    // checkpointed inputs
+    val join = graft.canon.Canonicalizer.memberships(r.mentions, r.surfaceClusters)
+    join.count() // let AQE finalize
+    val plan = join.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small surface dict not broadcast: $plan")
+  }
+
+  test("event coreference plans no cartesian product") {
+    import spark.implicits._
+    val turns = graft.synth.TranscriptSynth.turnsDs(spark,
+      graft.synth.TranscriptSynth.Config(nConvs = 40, turnsPerConv = 6))
+    val r = Pipeline.run(turns)
+    val plan = r.eventPrototypes.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in event coref: $plan")
+  }
+
   test("superedge aggregation uses partial aggregation (map-side combine)") {
     import spark.implicits._
     val ms = Seq(graft.schema.Membership("c1", "m1", 1.0)).toDS()

@@ -26,6 +26,27 @@ class PropertySpec extends AnyFunSuite {
     assert(t1 == t2)
   }
 
+  test("event frames independent of input partitioning (parallelism invariance)") {
+    def frames(parts: Int): Set[(String, String, String, String, Long)] = {
+      val r = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = parts))
+      graft.canon.EventCoref
+        .namedFrames(r.eventClusters, r.eventArgs, r.memberships, r.prototypes)
+        .collect()
+        .map(x => (x.getString(1), x.getString(2), x.getString(3),
+          x.getString(4), x.getLong(5))).toSet
+    }
+    assert(frames(3) == frames(16))
+  }
+
+  test("event clustering is a partition over event mentions") {
+    val r = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = 6))
+    val n = r.events.count()
+    assert(r.eventMemberships.count() == n)
+    assert(r.eventMemberships.select("member_id").distinct().count() == n)
+    assert(r.eventPrototypes.select("cluster_id").distinct().count() ==
+      r.eventPrototypes.count())
+  }
+
   test("clustering is a partition: total and disjoint over mentions") {
     val r = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = 6))
     val nMentions = r.mentions.count()
