@@ -196,6 +196,16 @@ object SparkEntry {
       graft.cc.ConnectedComponents.run(edges)
         .select(col("sid"), col("component"))
     }),
+    "q_event_coref" -> ((s, d) => { // C8 keying: the REAL EventCoref
+      // operator over fabricated events/args/memberships, DuckDB-oracled
+      val (events, args, ms) = fabricatedEvents(s, d)
+      EventCoref.keyedEvents(events, args, ms)
+        .select(col("event_id"), col("ekey"), col("cluster_id"))
+    }),
+    "q_superedge_justif" -> ((s, d) => { // superedge justification copy
+      val (stmts, ms) = fabricatedStatements(s, d)
+      Justifications.superEdgeJustifications(stmts, ms)
+    }),
     "q_proto_justi" -> ((s, d) => { // prototype justification copy-back
       val (mentions, ms, protos) = fabricatedClusters(s, d)
       Justifications.prototypeJustifications(ms, mentions, protos)
@@ -251,6 +261,40 @@ object SparkEntry {
       col("mid").cast("string").as("member_id"),
       lit(1.0).as("conf")).as[Membership]
     (stmts, ms)
+  }
+
+  /** Deterministic event-mention/arg/membership tables over `events`
+    * for the event-coreference oracle: each event row is an "event
+    * mention" of type event_type with Subject = user bucket and
+    * Object = JSON-k bucket arguments (same mod-50 membership scheme
+    * as [[fabricatedStatements]]). */
+  private def fabricatedEvents(s: SparkSession, d: String): (Dataset[Mention], DataFrame, Dataset[Membership]) = {
+    import s.implicits._
+    val ev = t(s, d, "events")
+    val events = ev.select(
+      col("event_id").cast("string").as("mention_id"),
+      col("user_id").cast("string").as("conv_id"),
+      lit(0).as("turn_idx"),
+      lit("event").as("kind"),
+      col("event_type").as("etype"),
+      col("event_type").as("name"),
+      col("event_type").as("norm_name"),
+      lit(0).as("start_off"), lit(1).as("end_off"),
+      col("value").as("conf"),
+      lit(null).cast("string").as("link_target")).as[Mention]
+    val args = ev.select(col("event_id").cast("string").as("event_id"),
+        lit("Subject").as("role"), col("user_id").cast("string").as("arg_id"))
+      .unionByName(ev.select(col("event_id").cast("string").as("event_id"),
+        lit("Object").as("role"),
+        get_json_object(col("props"), "$.k").as("arg_id")))
+    val members = ev.select(col("user_id").cast("long").as("mid"))
+      .union(ev.select(get_json_object(col("props"), "$.k").cast("long").as("mid")))
+      .distinct()
+    val ms = members.select(
+      concat(lit("c"), pmod(col("mid"), lit(50)).cast("string")).as("cluster_id"),
+      col("mid").cast("string").as("member_id"),
+      lit(1.0).as("conf")).as[Membership]
+    (events, args, ms)
   }
 
   /** Deterministic Mention/Membership/Prototype tables over `events`
@@ -457,6 +501,24 @@ object SparkEntry {
         |  UNION
         |  SELECT r.v, e.dst FROM reach r JOIN e ON r.u = e.src)
         |SELECT v AS sid, min(u) AS component FROM reach GROUP BY v""".stripMargin,
+    "q_event_coref" ->
+      """SELECT event_id,
+        |       event_type || '|' || least(sub, obj) || ',' || greatest(sub, obj) AS ekey,
+        |       'ec:' || md5(event_type || '|' || least(sub, obj) || ',' || greatest(sub, obj)) AS cluster_id
+        |FROM (
+        |  SELECT CAST(event_id AS VARCHAR) AS event_id, event_type,
+        |         'Subject:c' || CAST(user_id % 50 AS VARCHAR) AS sub,
+        |         'Object:c' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 50 AS VARCHAR) AS obj
+        |  FROM events) t""".stripMargin,
+    "q_superedge_justif" ->
+      """SELECT 'c' || CAST(user_id % 50 AS VARCHAR) AS subj_proto,
+        |       event_type AS pred,
+        |       'c' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 50 AS VARCHAR) AS obj_proto,
+        |       CAST(event_id AS VARCHAR) AS stmt_id,
+        |       CAST(user_id AS VARCHAR) AS conv_id,
+        |       0 AS turn_idx, 0 AS start_off, 1 AS end_off,
+        |       value AS conf
+        |FROM events""".stripMargin,
     "q_proto_justi" ->
       """SELECT 'p:' || event_type AS prototype_id,
         |       'c:' || event_type AS cluster_id,
