@@ -162,6 +162,9 @@ object SparkEntry {
       Dedup.ngramJaccard(docs, pairs)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
+    "q_near_dup_groups" -> ((s, d) => // LSH→jaccard→CC dedup grouping
+      Dedup.nearDupClusters(t(s, d, "documents"))
+        .orderBy(col("doc_id"))),
     "q_ann_topk" -> ((s, d) => { // brute-force cosine top-k
       val e = t(s, d, "embeddings")
       val q = e.filter(col("vec_id") === 0).select(col("embedding"))
