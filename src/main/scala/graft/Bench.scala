@@ -47,13 +47,19 @@ object Bench {
       timings(name) = (System.nanoTime() - t0) / 1e9
       r
     }
+    val pipelineRuns = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var weather = "ok"
     def emit(nTriples: Long, nTurns: Long, turnsPerSec: Double): Unit = {
       val (steal1, busy1) = cpuJiffies()
       val qs = timings.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      val runsJson = pipelineRuns
+        .map { case (s, st) => f"""{"sec":$s%.1f,"steal_sec":$st%.1f}""" }
+        .mkString("[", ",", "]")
       println(
         f"""{"metric":"total","value":${timings.values.sum}%.3f,"unit":"sec","queries":$qs,""" +
           f""""sf":"$sfDir","bench_turns":$nTurns,"kg_triples":$nTriples,""" +
           f""""turns_per_sec":$turnsPerSec%.1f,"cores":$cpus,""" +
+          f""""pipeline_runs":$runsJson,"weather":"$weather",""" +
           f""""steal_sec":${(steal1 - steal0) / 100.0}%.1f,"busy_sec":${(busy1 - busy0) / 100.0}%.1f}""")
     }
 
@@ -89,7 +95,29 @@ object Bench {
       lastResult = r
       (System.nanoTime() - t0) / 1e9
     }
-    timings("kg_pipeline") = math.min(onePipeline(), onePipeline())
+    // STEAL-AWARE headline: this sandbox's hypervisor steals CPU in
+    // multi-minute bursts (BASELINE.md "weather, quantified" measured
+    // the same binary swinging 3-6×), so a single stolen window makes
+    // the artifact lie about the engine. Protocol: min-of-2 always;
+    // if no run yet saw steal below ~10% of machine capacity, keep
+    // re-running (bounded) until one does or retries are exhausted —
+    // and say which happened in the JSON (`weather`), with per-run
+    // steal so a reader can judge each sample.
+    val machineCores = Runtime.getRuntime.availableProcessors()
+    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "4").toInt
+    def quietFrac(sec: Double, stealSec: Double): Double =
+      stealSec / math.max(sec * machineCores, 1e-9)
+    var sawQuiet = false
+    while (pipelineRuns.size < 2 || (!sawQuiet && pipelineRuns.size < maxRuns)) {
+      val (s0, _) = cpuJiffies()
+      val sec = onePipeline()
+      val (s1, _) = cpuJiffies()
+      val stealSec = (s1 - s0) / 100.0
+      pipelineRuns += ((sec, stealSec))
+      if (quietFrac(sec, stealSec) < 0.10) sawQuiet = true
+    }
+    weather = if (sawQuiet) "ok" else "high_steal"
+    timings("kg_pipeline") = pipelineRuns.map(_._1).min
     val turnsPerSec = cfg.nTurns / timings("kg_pipeline")
 
     // SPARK_GRAFT_BENCH_MODE=pipeline → headline only (the N vs 4N
@@ -117,6 +145,7 @@ object Bench {
         r.informativeJustifications, r.clusterLinks,
         r.protoJustifications, r.superEdgeJustifications)
       Await.result(Future.sequence(outs.map(df => Future(force(df)))), Duration.Inf)
+      r.unpersist() // release the shared annotated-members cache
     }
 
     // 2. extraction-only throughput (mention detection stage)

@@ -123,6 +123,17 @@ object Main {
     store.getOrCreate(spark, "proto_justifications", fp) {
       graft.canon.Justifications.prototypeJustifications(memberships, mentions, prototypes)
     }
+    // the two remaining reference copy-backs (proto_inf_just /
+    // proto_type_assertion_justi, sparqls.py:413-454) — emitted, not
+    // just implemented
+    store.getOrCreate(spark, "proto_inf_justifications", fp) {
+      graft.canon.Justifications.prototypeInformativeJustifications(
+        memberships, mentions, prototypes)
+    }
+    store.getOrCreate(spark, "proto_type_justifications", fp) {
+      graft.canon.Justifications.prototypeTypeAssertionJustifications(
+        memberships, mentions, prototypes)
+    }
     store.getOrCreate(spark, "superedge_justifications", fp) {
       graft.canon.Justifications.superEdgeJustifications(statements, memberships)
     }

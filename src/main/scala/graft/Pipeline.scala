@@ -55,7 +55,24 @@ object Pipeline {
       informativeJustifications: DataFrame,
       clusterLinks: DataFrame,
       protoJustifications: DataFrame,
-      superEdgeJustifications: DataFrame)
+      superEdgeJustifications: DataFrame,
+      // the lazily-persisted memberships⋈mentions join the three
+      // cluster-level justification outputs share — exposed so callers
+      // OWN its lifecycle (see [[Result.unpersist]])
+      annotatedMembers: DataFrame) {
+
+    /** Release the cached shared join. Ownership contract: `run`
+      * persists `annotatedMembers` lazily (MEMORY_AND_DISK) so the
+      * justification outputs scan it once; the cache is populated only
+      * if a justification output is forced, and it is the CALLER's job
+      * to call this after the last such action — repeated `run`s in
+      * one session otherwise accumulate pinned blocks (the GC
+      * pathology quantified in BASELINE.md "persist weather"). */
+    def unpersist(): Unit = {
+      annotatedMembers.unpersist(false)
+      ()
+    }
+  }
 
   /** Rows above which the surface dictionary is assumed to exceed the
     * broadcast threshold and the membership join switches to the
@@ -145,6 +162,6 @@ object Pipeline {
       memberships, prototypes, superEdges, triples,
       events, eventArgs, eventKeyed, eventMemberships, eventPrototypes,
       relationClusters, informativeJustifications, clusterLinks,
-      protoJustifications, superEdgeJustifications)
+      protoJustifications, superEdgeJustifications, annotated)
   }
 }

@@ -182,9 +182,7 @@ object SparkEntry {
     // pipeline runs.
     "q_relation_clusters" -> ((s, d) => {
       val (stmts, ms) = fabricatedStatements(s, d)
-      RelationClusters.cluster(stmts, ms)
-        .select(col("relation_cluster_id"), col("rel_key"),
-          array_join(col("member_stmts"), ",").as("members"), col("n_members"))
+      RelationClusters.cluster(stmts, ms) // row-shaped: one row per member
     }),
     "q_connected_components" -> ((s, d) => { // C4: the REAL CC operator,
       // DuckDB-oracled via a recursive-CTE transitive closure on a
@@ -231,12 +229,15 @@ object SparkEntry {
       val cfg = TranscriptSynth.Config(nConvs = 60, turnsPerConv = 8)
       val r = Pipeline.run(TranscriptSynth.turnsDs(s, cfg, partitions = 8))
       EventCoref.namedFrames(r.eventClusters, r.eventArgs, r.memberships, r.prototypes)
-        .select(col("etype"), col("subj"), col("obj"), col("place"), col("n_members"))
+        .select(col("etype"), col("subj"), col("obj"), col("place"),
+          col("participant"), col("n_members"))
     }),
     "q_kg_relation_clusters" -> ((s, _) => { // C6 wired into pipeline output
       val cfg = TranscriptSynth.Config(nConvs = 60, turnsPerConv = 8)
-      Pipeline.run(TranscriptSynth.turnsDs(s, cfg, partitions = 8))
-        .relationClusters.select(col("rel_key"), col("n_members"))
+      RelationClusters.summary(
+        Pipeline.run(TranscriptSynth.turnsDs(s, cfg, partitions = 8))
+          .relationClusters)
+        .select(col("rel_key"), col("n_members"))
     })
   )
 
@@ -246,7 +247,12 @@ object SparkEntry {
     * payload), memberships assign both ends to mod-50 buckets. */
   private def fabricatedStatements(s: SparkSession, d: String): (Dataset[Statement], Dataset[Membership]) = {
     import s.implicits._
+    // defensively drop NULL-keyed payload rows on BOTH the Spark
+    // fabrication and the DuckDB SQL: inner membership joins would drop
+    // them on the Spark side only, so the harness stays robust if the
+    // fixture ever grows missing $.k
     val ev = t(s, d, "events")
+      .filter(get_json_object(col("props"), "$.k").isNotNull)
     val stmts = ev.select(
       col("event_id").cast("string").as("stmt_id"),
       col("user_id").cast("string").as("subj"),
@@ -274,6 +280,7 @@ object SparkEntry {
   private def fabricatedEvents(s: SparkSession, d: String): (Dataset[Mention], DataFrame, Dataset[Membership]) = {
     import s.implicits._
     val ev = t(s, d, "events")
+      .filter(get_json_object(col("props"), "$.k").isNotNull)
     val events = ev.select(
       col("event_id").cast("string").as("mention_id"),
       col("user_id").cast("string").as("conv_id"),
@@ -285,13 +292,19 @@ object SparkEntry {
       lit(0).as("start_off"), lit(1).as("end_off"),
       col("value").as("conf"),
       lit(null).cast("string").as("link_target")).as[Mention]
+    // three roles — exercises the arbitrary-arity role-set fold in
+    // EventCoref.keyedEvents (not just the Subject/Object pair)
     val args = ev.select(col("event_id").cast("string").as("event_id"),
         lit("Subject").as("role"), col("user_id").cast("string").as("arg_id"))
       .unionByName(ev.select(col("event_id").cast("string").as("event_id"),
         lit("Object").as("role"),
         get_json_object(col("props"), "$.k").as("arg_id")))
+      .unionByName(ev.select(col("event_id").cast("string").as("event_id"),
+        lit("Context").as("role"),
+        pmod(col("event_id"), lit(1000)).cast("string").as("arg_id")))
     val members = ev.select(col("user_id").cast("long").as("mid"))
       .union(ev.select(get_json_object(col("props"), "$.k").cast("long").as("mid")))
+      .union(ev.select(pmod(col("event_id"), lit(1000)).cast("long").as("mid")))
       .distinct()
     val ms = members.select(
       concat(lit("c"), pmod(col("mid"), lit(50)).cast("string")).as("cluster_id"),
@@ -444,7 +457,8 @@ object SparkEntry {
         |         CAST(user_id AS VARCHAR) AS subj,
         |         event_type AS pred,
         |         json_extract_string(props, '$.k') AS obj
-        |  FROM events),
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
         |j AS (
         |  SELECT stmt_id, pred,
         |         'c' || CAST(CAST(subj AS BIGINT) % 50 AS VARCHAR) AS sc,
@@ -457,9 +471,9 @@ object SparkEntry {
         |         greatest('subj:' || sc, 'obj:' || oc) AS rel_key
         |  FROM j)
         |SELECT 'rc:' || md5(rel_key) AS relation_cluster_id, rel_key,
-        |       string_agg(stmt_id, ',' ORDER BY stmt_id) AS members,
-        |       count(*) AS n_members
-        |FROM k GROUP BY rel_key""".stripMargin,
+        |       stmt_id,
+        |       count(*) OVER (PARTITION BY rel_key) AS n_members
+        |FROM k""".stripMargin,
     "q_langid" ->
       """WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
         |s AS (
@@ -506,13 +520,15 @@ object SparkEntry {
         |SELECT v AS sid, min(u) AS component FROM reach GROUP BY v""".stripMargin,
     "q_event_coref" ->
       """SELECT event_id,
-        |       event_type || '|' || least(sub, obj) || ',' || greatest(sub, obj) AS ekey,
-        |       'ec:' || md5(event_type || '|' || least(sub, obj) || ',' || greatest(sub, obj)) AS cluster_id
+        |       event_type || '|' || array_to_string(list_sort([sub, obj, ctx]), ',') AS ekey,
+        |       'ec:' || md5(event_type || '|' || array_to_string(list_sort([sub, obj, ctx]), ',')) AS cluster_id
         |FROM (
         |  SELECT CAST(event_id AS VARCHAR) AS event_id, event_type,
         |         'Subject:c' || CAST(user_id % 50 AS VARCHAR) AS sub,
-        |         'Object:c' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 50 AS VARCHAR) AS obj
-        |  FROM events) t""".stripMargin,
+        |         'Object:c' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 50 AS VARCHAR) AS obj,
+        |         'Context:c' || CAST(event_id % 1000 % 50 AS VARCHAR) AS ctx
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL) t""".stripMargin,
     "q_superedge_justif" ->
       """SELECT 'c' || CAST(user_id % 50 AS VARCHAR) AS subj_proto,
         |       event_type AS pred,
@@ -521,7 +537,8 @@ object SparkEntry {
         |       CAST(user_id AS VARCHAR) AS conv_id,
         |       0 AS turn_idx, 0 AS start_off, 1 AS end_off,
         |       value AS conf
-        |FROM events""".stripMargin,
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin,
     "q_proto_justi" ->
       """SELECT 'p:' || event_type AS prototype_id,
         |       'c:' || event_type AS cluster_id,
@@ -550,6 +567,33 @@ object SparkEntry {
         |       round(list_cosine_similarity(embedding::DOUBLE[],
         |             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS sim
         |FROM embeddings ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_near_dup_groups" ->
+      // EXACT all-pairs ground truth for the full LSH→Jaccard→CC dedup
+      // pipeline: char-5-shingle jaccard ≥ 0.8 all-pairs (the size
+      // prefilter is a sound bound: j ≥ τ ⇒ min|s| ≥ τ·max|s|, so it
+      // drops no qualifying pair) + recursive-CTE connected components
+      // + min-id canonical. A MinHash-LSH banding recall miss on any
+      // true pair hash-mismatches this oracle.
+      """WITH RECURSIVE d AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(length(norm)-4, 1)+1),
+        |                               i -> norm[i:i+4])) AS s
+        |  FROM d),
+        |p AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE length(a.s) >= 0.8*length(b.s) AND length(b.s) >= 0.8*length(a.s)
+        |        AND CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+        |            / greatest(length(list_distinct(list_concat(a.s, b.s))), 1) >= 0.8),
+        |e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+        |reach(v, u) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT r.v, e.dst FROM reach r JOIN e ON r.u = e.src),
+        |comp AS (SELECT v AS doc_id, min(u) AS canon FROM reach GROUP BY v)
+        |SELECT d.doc_id,
+        |       coalesce(comp.canon, d.doc_id) AS canon_id,
+        |       coalesce(comp.canon, d.doc_id) <> d.doc_id AS is_dup
+        |FROM d LEFT JOIN comp ON comp.doc_id = d.doc_id""".stripMargin,
     "q_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 200)
         |SELECT * FROM (

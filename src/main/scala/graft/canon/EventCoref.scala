@@ -106,11 +106,12 @@ object EventCoref {
       .agg(
         max(when(col("role") === "Subject", col("arg_name"))).as("subj"),
         max(when(col("role") === "Object", col("arg_name"))).as("obj"),
-        max(when(col("role") === "Place", col("arg_name"))).as("place"))
+        max(when(col("role") === "Place", col("arg_name"))).as("place"),
+        max(when(col("role") === "Participant", col("arg_name"))).as("participant"))
     keyed.select(col("event_id"), col("cluster_id"), col("etype"))
       .join(argNames, "event_id")
       .groupBy(col("cluster_id"), col("etype"),
-        col("subj"), col("obj"), col("place"))
+        col("subj"), col("obj"), col("place"), col("participant"))
       .agg(count(lit(1)).as("n_members"))
   }
 }

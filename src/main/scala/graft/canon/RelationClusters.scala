@@ -1,6 +1,7 @@
 package graft.canon
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.schema.{Membership, Statement}
@@ -25,8 +26,15 @@ import graft.schema.{Membership, Statement}
  */
 object RelationClusters {
 
-  /** One row per relation cluster: deterministic cluster id + member
-    * statement ids + the canonical group key. */
+  /** One row per (relation cluster, member statement): deterministic
+    * cluster id + canonical group key + the member stmt_id, with the
+    * cluster's member count on every row (a window count — partial-agg
+    * friendly, no giant row). ROW-SHAPED on purpose: a hot relation
+    * cluster (hot entity family × hot predicate — guaranteed under the
+    * synth's 30% skew at scale) must never accumulate one unbounded
+    * member ARRAY in the pipeline output (the 2GB-row hazard class);
+    * the reference's `.jl` line format needs the array only at the
+    * sink — see [[graft.sources.SideFormats.writeRelationsJl]]. */
   def cluster(statements: Dataset[Statement],
       memberships: Dataset[Membership]): DataFrame = {
     val m = memberships.toDF()
@@ -38,12 +46,17 @@ object RelationClusters {
         array_join(array_sort(array(
           concat(lit("subj:"), col("subj_cluster")),
           concat(lit("obj:"), col("obj_cluster")))), ",")))
-    keyed.groupBy(col("rel_key"))
-      .agg(
-        sort_array(collect_set(col("stmt_id"))).as("member_stmts"),
-        count(lit(1)).as("n_members"))
+    keyed
       .withColumn("relation_cluster_id", concat(lit("rc:"), md5(col("rel_key"))))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("rel_key"))))
       .select(col("relation_cluster_id"), col("rel_key"),
-        col("member_stmts"), col("n_members"))
+        col("stmt_id"), col("n_members"))
   }
+
+  /** Per-cluster summary (one row per relation cluster, no member
+    * arrays) — the reporting shape. */
+  def summary(clusterRows: DataFrame): DataFrame =
+    clusterRows.groupBy(col("relation_cluster_id"), col("rel_key"))
+      .agg(count(lit(1)).as("n_members"))
 }

@@ -161,6 +161,7 @@ object MentionExtractor {
           eventArgs += EventArg(evId, "Subject", m1.mention_id)
           eventArgs += EventArg(evId, "Object", m2.mention_id)
           // optional place clause: ... S2 in S3(GPE)
+          var placeFound = false
           if (k + 2 < spArr.length) {
             val s3 = spArr(k + 2)
             val mid = toks.slice(tokPos(s2.tokens.last) + 1, tokPos(s3.tokens.head))
@@ -172,7 +173,22 @@ object MentionExtractor {
                 m1.mention_id, pred + ".Place", m3.mention_id, conf(pred + m3.mention_id),
                 t.conv_id, t.turn_idx, s1.start, s3.end)
               eventArgs += EventArg(evId, "Place", m3.mention_id)
+              placeFound = true
             }
+          }
+          // optional participant clause — the arbitrary-arity role the
+          // reference's event json head carries as per-type argument
+          // LISTS (update_kg/Updater.py:329-345): ... [in S3] with
+          // S4(PER) → a Participant argument edge (arg-only, like the
+          // reference's entity lists; no reified statement, so the
+          // relation/triple surface is unchanged)
+          val pIdx = if (placeFound) k + 3 else k + 2
+          if (pIdx < spArr.length) {
+            val prev = spArr(pIdx - 1); val sp = spArr(pIdx)
+            val mid = toks.slice(tokPos(prev.tokens.last) + 1, tokPos(sp.tokens.head))
+              .map(_.clean.toLowerCase)
+            if (mid.sameElements(Array("with")) && sp.etype == Lexicon.PER)
+              eventArgs += EventArg(evId, "Participant", mentions(pIdx).mention_id)
           }
         }
         k += 1

@@ -75,19 +75,41 @@ object Dedup {
     * hash — distributed, no broadcast, no n². `numHashes` must match
     * the signature width (and divide by rowsPerBand) — enforced, not
     * assumed, so a desync can't silently degenerate empty band slices
-    * into one global all-pairs bucket. */
-  def minHashCandidates(signatures: DataFrame, rowsPerBand: Int = 4,
+    * into one global all-pairs bucket.
+    *
+    * Default banding is b=8 bands × r=2 rows: S-curve threshold
+    * (1/b)^(1/r) ≈ 0.35, so a true pair at word-shingle jaccard 0.9
+    * is missed with probability (1−0.9²)⁸ ≈ 1.7e-7 — recall is
+    * effectively exact above the verification threshold (the driver's
+    * q_near_dup_groups oracle checks this against exact all-pairs
+    * truth), at the cost of more sub-threshold candidates, which the
+    * exact-Jaccard verification stage is there to reject. */
+  def minHashCandidates(signatures: DataFrame, rowsPerBand: Int = 2,
       numHashes: Int = 16): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       s"numHashes=$numHashes not divisible by rowsPerBand=$rowsPerBand")
-    // width guard lives inside the banding expression so column
-    // pruning can't drop it
-    val guarded = signatures.withColumn("signature",
-      when(size(col("signature")) === numHashes, col("signature"))
-        .otherwise(raise_error(
-          lit(s"signature width != numHashes=$numHashes"))))
+    // null text → null signature: those docs simply don't participate
+    // in candidate generation (the pre-kernel explode path's behavior);
+    // raise_error is reserved for genuine width desyncs on REAL rows —
+    // without the isNotNull, size(null)=null falls through when() into
+    // the error branch and a single null doc kills the job.
+    // Width guard lives inside the projection so pruning can't drop it.
+    val guarded = signatures
+      .filter(col("signature").isNotNull)
+      .withColumn("signature",
+        when(size(col("signature")) === numHashes, col("signature"))
+          .otherwise(raise_error(
+            lit(s"signature width != numHashes=$numHashes"))))
+    // Materialize the compact (doc_id, signature) projection ONCE
+    // before the banded self-join: the B unioned band branches × 2 join
+    // sides otherwise re-evaluate the minhash kernel up to 2B× per doc
+    // when the caller passes an unpersisted frame — harmless at sf0.1,
+    // 8× the dominant compute at corpus scale. After the checkpoint the
+    // banding plan contains zero kernel invocations (PlanSpec asserts).
+    val compact = guarded.select(col("doc_id"), col("signature"))
+      .localCheckpoint(true)
     val bands = (0 until numHashes / rowsPerBand).map { b =>
-      guarded.select(
+      compact.select(
         col("doc_id"),
         lit(b).as("band"),
         xxhash64(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)
@@ -110,7 +132,7 @@ object Dedup {
     * reuses the KG pipeline's CC operator.
     * Output: (doc_id, canon_id, is_dup). */
   def nearDupClusters(docs: DataFrame, jaccardThreshold: Double = 0.8,
-      k: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+      k: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 2): DataFrame = {
     val cand = minHashCandidates(minHashSignatures(docs, k, numHashes),
       rowsPerBand, numHashes)
     val verified = ngramJaccard(docs, cand)
@@ -153,8 +175,13 @@ object Dedup {
     * candidate, guaranteeing recall for distance ≤ 3 by pigeonhole),
     * verify with exact Hamming distance. */
   def simHashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // one kernel eval per doc: the 4 chunk branches × 2 join sides scan
+    // this 16-byte-per-row checkpoint, never the upstream simhash plan
+    val compact = sims.select(col("doc_id"), col("simhash"))
+      .filter(col("simhash").isNotNull)
+      .localCheckpoint(true)
     val chunks = (0 until 4).map { c =>
-      sims.select(col("doc_id"), col("simhash"), lit(c).as("chunk"),
+      compact.select(col("doc_id"), col("simhash"), lit(c).as("chunk"),
         shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("key"))
     }.reduce(_ unionByName _)
     chunks.as("a")

@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
  * /root/reference/update_kg/sparqls.py:115-164, turtle templates
  * update_kg/Updater.py:385-485).
  *
- * The decode/feature-extract kernels are STUBBED with a deterministic
- * fake (this container ships no image/audio codecs); the Spark-side
- * contract — schema, batch shape, partition-parallel mapPartitions,
- * failure capture — is real and tested. Swapping the stub for a JNI/
- * codec call changes only `decodeKernel`.
+ * Two modalities decode for REAL in pure JVM — WAV/PCM audio and BMP
+ * images (both are header+raw-samples formats needing no codec
+ * library); payloads are dispatched on their magic bytes. Codec-bound
+ * formats (JPEG/MP3/H.264) fall back to a clearly-marked deterministic
+ * STUB (this container ships no codecs); the Spark-side contract —
+ * schema, batch shape, partition-parallel mapPartitions, failure
+ * capture — is identical for both paths, so swapping the stub for a
+ * JNI/codec call changes only `decodeKernel`.
  */
 object Multimodal {
 
@@ -41,11 +44,151 @@ object Multimodal {
 
   val EmbeddingDim = 16
 
-  /** STUB decode/feature kernel — deterministic bytes→features fake.
-    * Real implementation would decode (JPEG/PCM/H.264) and run a
-    * feature net; marked intentionally. */
-  private[ops] def decodeKernel(payload: Array[Byte]): Array[Float] = {
-    // deterministic fake: chunked byte sums, L2-normalized
+  /** Decode/feature kernel. REAL decoders for WAV/PCM (RIFF magic)
+    * and BMP ("BM" magic) — sample-derived acoustic / pixel-derived
+    * visual features; anything else falls to the deterministic STUB
+    * (codec-bound formats — JPEG/MP3/H.264 — need libraries this
+    * container doesn't ship; marked intentionally). Malformed
+    * payloads of a recognized format THROW, and [[extractFeatures]]
+    * captures the failure per row. */
+  private[ops] def decodeKernel(payload: Array[Byte]): Array[Float] =
+    if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
+        payload(2) == 'F' && payload(3) == 'F' &&
+        payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' &&
+        payload(11) == 'E') decodeWav(payload)
+    else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
+      decodeBmp(payload)
+    else stubKernel(payload)
+
+  private def i32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def i16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** Real WAV/PCM decode: parses RIFF chunks, requires PCM (format 1)
+    * 16-bit; features = [duration_s, RMS, zero-crossing rate, mean
+    * |amp|, peak, sampleRate/48k, channels/2, 0] ++ 8-segment RMS
+    * envelope — all derived from the actual samples. */
+  private[ops] def decodeWav(b: Array[Byte]): Array[Float] = {
+    var o = 12
+    var fmtOk = false; var channels = 0; var sampleRate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (o + 8 <= b.length) {
+      val id = new String(b, o, 4, "US-ASCII")
+      val sz = i32(b, o + 4)
+      require(sz >= 0, "bad chunk size")
+      if (id == "fmt ") {
+        require(o + 8 + 16 <= b.length, "truncated fmt chunk")
+        val audioFormat = i16(b, o + 8)
+        require(audioFormat == 1, s"unsupported WAV format $audioFormat (PCM only)")
+        channels = i16(b, o + 10)
+        sampleRate = i32(b, o + 12)
+        bits = i16(b, o + 22)
+        require(bits == 16, s"unsupported bit depth $bits (16-bit PCM only)")
+        require(channels > 0 && sampleRate > 0, "bad fmt chunk")
+        fmtOk = true
+      } else if (id == "data") { dataOff = o + 8; dataLen = sz }
+      o += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    require(fmtOk, "no fmt chunk")
+    require(dataOff >= 0, "no data chunk")
+    require(dataOff + dataLen <= b.length, "truncated data chunk")
+    val n = dataLen / 2
+    require(n > 0, "empty data chunk")
+    var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0; var zc = 0
+    var prev = 0.0
+    val segSq = new Array[Double](8); val segN = new Array[Int](8)
+    var i = 0
+    while (i < n) {
+      val s = i16(b, dataOff + i * 2).toShort / 32768.0
+      sumSq += s * s; sumAbs += math.abs(s)
+      if (math.abs(s) > peak) peak = math.abs(s)
+      if (i > 0 && (s > 0) != (prev > 0)) zc += 1
+      prev = s
+      val seg = (i * 8L / n).toInt
+      segSq(seg) += s * s; segN(seg) += 1
+      i += 1
+    }
+    val frames = n / channels
+    val out = new Array[Float](EmbeddingDim)
+    out(0) = frames.toFloat / sampleRate
+    out(1) = math.sqrt(sumSq / n).toFloat
+    out(2) = zc.toFloat / n
+    out(3) = (sumAbs / n).toFloat
+    out(4) = peak.toFloat
+    out(5) = sampleRate / 48000.0f
+    out(6) = channels / 2.0f
+    var k = 0
+    while (k < 8) {
+      out(8 + k) = if (segN(k) > 0) math.sqrt(segSq(k) / segN(k)).toFloat else 0f
+      k += 1
+    }
+    out
+  }
+
+  /** Real BMP decode: 24bpp uncompressed (BI_RGB), bottom-up or
+    * top-down; features = [width/1k, height/1k, meanR, meanG, meanB,
+    * mean luma, luma stddev, mean |horizontal luma diff|] ++ mean luma
+    * over a 2×4 (rows×cols) grid — all derived from actual pixels. */
+  private[ops] def decodeBmp(b: Array[Byte]): Array[Float] = {
+    require(b.length >= 54, "truncated BMP header")
+    val dataOff = i32(b, 10)
+    val width = i32(b, 18)
+    val heightRaw = i32(b, 22)
+    val bpp = i16(b, 28)
+    val compression = i32(b, 30)
+    require(bpp == 24, s"unsupported bpp $bpp (24-bit only)")
+    require(compression == 0, s"unsupported compression $compression")
+    require(width > 0 && heightRaw != 0, "bad BMP dimensions")
+    val height = math.abs(heightRaw)
+    val topDown = heightRaw < 0
+    val rowBytes = ((width * 3 + 3) / 4) * 4
+    require(dataOff + rowBytes.toLong * height <= b.length, "truncated BMP pixels")
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var sl = 0.0; var sl2 = 0.0; var hdiff = 0.0; var hdiffN = 0L
+    val grid = new Array[Double](8); val gridN = new Array[Long](8)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      var x = 0
+      var prevL = 0.0
+      val ro = dataOff + srcRow * rowBytes
+      while (x < width) {
+        val bb = b(ro + x * 3) & 0xff
+        val gg = b(ro + x * 3 + 1) & 0xff
+        val rr = b(ro + x * 3 + 2) & 0xff
+        val l = (0.299 * rr + 0.587 * gg + 0.114 * bb) / 255.0
+        sr += rr; sg += gg; sb += bb; sl += l; sl2 += l * l
+        if (x > 0) { hdiff += math.abs(l - prevL); hdiffN += 1 }
+        prevL = l
+        val cell = (y * 2 / height) * 4 + (x * 4 / width)
+        grid(cell) += l; gridN(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val np = width.toLong * height
+    val out = new Array[Float](EmbeddingDim)
+    out(0) = width / 1000.0f
+    out(1) = height / 1000.0f
+    out(2) = (sr / np / 255.0).toFloat
+    out(3) = (sg / np / 255.0).toFloat
+    out(4) = (sb / np / 255.0).toFloat
+    out(5) = (sl / np).toFloat
+    out(6) = math.sqrt(math.max(sl2 / np - (sl / np) * (sl / np), 0.0)).toFloat
+    out(7) = if (hdiffN > 0) (hdiff / hdiffN).toFloat else 0f
+    var k = 0
+    while (k < 8) {
+      out(8 + k) = if (gridN(k) > 0) (grid(k) / gridN(k)).toFloat else 0f
+      k += 1
+    }
+    out
+  }
+
+  /** STUB for codec-bound formats — deterministic bytes→features fake
+    * (chunked byte sums, L2-normalized); marked intentionally. */
+  private[ops] def stubKernel(payload: Array[Byte]): Array[Float] = {
     val acc = new Array[Float](EmbeddingDim)
     var i = 0
     while (i < payload.length) {

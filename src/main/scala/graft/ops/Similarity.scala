@@ -123,12 +123,71 @@ object Similarity {
     }
   }
 
+  /** BATCH IVF ANN: top-k for a whole TABLE of query vectors in one
+    * distributed plan — no per-query driver loop ([[ivfTopK]]'s shape
+    * is the single-query building block; at corpus scale queries
+    * arrive as a table). `queries` needs (query_id, embedding).
+    *
+    * Plan: queries × broadcast(centroids) → per-query `nprobe` nearest
+    * centroids (window over a tiny cross product) → equi-join with the
+    * posting lists on `centroid` → per-query cosine top-k window.
+    * Same never-under-returns contract as [[ivfTopK]]: queries whose
+    * probed posting lists hold fewer than k candidates are re-run
+    * against the full corpus (only those queries — an anti-join-gated
+    * fallback, empty in the common case). */
+  def ivfTopKBatch(assigned: DataFrame, centers: Array[Array[Double]],
+      queries: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cents = spark.createDataset(centers.toSeq.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.toSeq) })
+      .toDF("centroid", "c_emb")
+    // squared euclidean via HOF fold — centroid table is tiny
+    // (nCentroids rows), so the interpreted lambda cost is bounded by
+    // nQueries × nCentroids, never corpus-scale
+    val d2 = aggregate(
+      zip_with(col("q_emb").cast("array<double>"), col("c_emb"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("centroid").asc)
+    val probes = queries
+      .select(col("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", d2)
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= math.max(nprobe, 1))
+      .select(col("query_id"), col("q_emb"), col("centroid"))
+    val cand = probes.join(assigned.select(col("vec_id"), col("embedding"),
+      col("centroid")), "centroid")
+    // fallback: queries with under-filled posting lists go brute-force
+    val short = cand.groupBy(col("query_id")).agg(count(lit(1)).as("nc"))
+      .filter(col("nc") < k).select(col("query_id"))
+    val fallback = queries
+      .join(short, "query_id")
+      .select(col("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(assigned.select(col("vec_id"), col("embedding")))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cand.select(col("query_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .unionByName(fallback)
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rn"))
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine ≥ τ,
     * LSH-blocked (pairs only within a bucket) — the embedding-cosine
     * near-dup dedup operator. */
   def cosinePairs(embeddings: DataFrame, threshold: Double = 0.95, nBits: Int = 6): DataFrame = {
+    // one bucket-kernel eval per vector: both self-join sides scan the
+    // checkpointed compact projection, not the upstream bucket plan
     val b = lshBuckets(embeddings, nBits).select(
       col("vec_id"), col("embedding"), col("bucket"))
+      .localCheckpoint(true)
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

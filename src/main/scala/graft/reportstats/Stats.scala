@@ -1,6 +1,7 @@
 package graft.reportstats
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.schema._
@@ -42,17 +43,30 @@ object Stats {
   }
 
   /** A8 + A9: distinct source conversations per cluster, with a
-    * deterministic comma-joined sample. */
+    * deterministic comma-joined sample of the first `sampleK` (sorted).
+    * BOUNDED aggregation: the sample is rank-gated BEFORE collection
+    * (collect_list skips the nulls the `when` leaves outside the rank
+    * window), so a hot cluster spanning 10^8 conversations aggregates
+    * ≤ sampleK strings per group instead of materializing every
+    * distinct conv_id in one row — the 2GB-row hazard the previous
+    * slice(array_sort(collect_set(...))) formulation had. */
   def clusterSources(memberships: Dataset[Membership],
-      mentions: Dataset[Mention]): DataFrame =
-    memberships.toDF()
+      mentions: Dataset[Mention], sampleK: Int = 20): DataFrame = {
+    val distinctDocs = memberships.toDF()
       .join(mentions.toDF().select(col("mention_id").as("member_id"), col("conv_id")),
         "member_id")
+      .select(col("cluster_id"), col("conv_id"))
+      .distinct()
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("conv_id").asc)
+    distinctDocs
+      .withColumn("rn", row_number().over(w))
       .groupBy(col("cluster_id"))
       .agg(
-        countDistinct(col("conv_id")).as("n_docs"),
-        array_join(slice(array_sort(collect_set(col("conv_id"))), 1, 20), ", ")
-          .as("docs_sample"))
+        count(lit(1)).as("n_docs"),
+        array_join(
+          array_sort(collect_list(when(col("rn") <= sampleK, col("conv_id")))),
+          ", ").as("docs_sample"))
+  }
 
   /** A6/A7/W1: superedge report with names, ordered by count desc. */
   def superEdgeReport(superEdges: Dataset[SuperEdge],
@@ -78,6 +92,83 @@ object Stats {
       .groupBy(col("subj"))
       .agg(map_from_entries(array_sort(collect_list(struct(col("pred"), col("objs")))))
         .as("doc"))
+
+  /** The nested per-cluster statistics tree — the reference's
+    * ta1/ta2 cluster rank report (json_head/get_statistics.py:58-96):
+    * one row per cluster, ranked by member count desc, carrying
+    * `entities` = {type → {link | 'others' → {name → count}}}. The
+    * reference keys on a link only when it is a real KB id (its
+    * `m.`-prefix Freebase test); our KB ids carry the `kb:` prefix —
+    * same rule, different namespace. Unnamed members count under
+    * NO_NAME (update_cur, get_statistics.py:15-27).
+    *
+    * Scale: three groupBy levels with strictly shrinking key
+    * cardinality; the only per-row arrays are the nested maps, which
+    * are bounded by `topNames` distinct names per (cluster,type,link)
+    * leaf (rank-gated BEFORE collection; 0 = unbounded, reference
+    * fidelity for report-sized corpora — the cap is the documented
+    * divergence that keeps a hot cluster from materializing millions
+    * of distinct typo'd names in one row). */
+  def clusterEntityTree(memberships: Dataset[Membership],
+      mentions: Dataset[Mention], topNames: Int = 50,
+      kbPrefix: String = "kb:"): DataFrame = {
+    val base = memberships.toDF().select(col("cluster_id"), col("member_id"))
+      .join(mentions.toDF().select(col("mention_id").as("member_id"),
+        col("etype"), col("name"), col("link_target")), "member_id")
+      .select(col("cluster_id"), col("etype"),
+        when(col("link_target").startsWith(kbPrefix), col("link_target"))
+          .otherwise(lit("others")).as("link"),
+        coalesce(nullif(col("name"), lit("")), lit("NO_NAME")).as("name"))
+    val counts = base
+      .groupBy(col("cluster_id"), col("etype"), col("link"), col("name"))
+      .agg(count(lit(1)).as("cnt"))
+    val leafW = Window.partitionBy(col("cluster_id"), col("etype"), col("link"))
+      .orderBy(col("cnt").desc, col("name").asc)
+    val gated =
+      if (topNames > 0)
+        counts.withColumn("rn", row_number().over(leafW))
+          .filter(col("rn") <= topNames).drop("rn")
+      else counts
+    // nested JSON built bottom-up: names (arbitrary text) are escaped
+    // by to_json at the leaf; link/type keys are controlled vocabulary
+    // (etype constants, kb: ids, 'others') so plain quoting is safe.
+    // array_sort before every join keeps entry order deterministic.
+    def obj(entries: Column): Column =
+      concat(lit("{"), array_join(entries, ","), lit("}"))
+    val byLink = gated
+      .groupBy(col("cluster_id"), col("etype"), col("link"))
+      .agg(to_json(map_from_entries(array_sort(
+          collect_list(struct(col("name"), col("cnt")))))).as("names_json"),
+        sum(col("cnt")).as("cnt"))
+    val byType = byLink
+      .groupBy(col("cluster_id"), col("etype"))
+      .agg(obj(transform(
+          array_sort(collect_list(struct(col("link"), col("names_json")))),
+          s => concat(lit("\""), s.getField("link"), lit("\":"),
+            s.getField("names_json")))).as("links_json"),
+        sum(col("cnt")).as("cnt"))
+    byType
+      .groupBy(col("cluster_id"))
+      .agg(obj(transform(
+          array_sort(collect_list(struct(col("etype"), col("links_json")))),
+          s => concat(lit("\""), s.getField("etype"), lit("\":"),
+            s.getField("links_json")))).as("entities"),
+        sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("cluster_id").asc)
+      .select(col("cluster_id"), col("cnt"), col("entities"))
+  }
+
+  /** [[clusterEntityTree]] rendered as the reference's ranked JSON
+    * dump (one object per line, rank order preserved via the sorted
+    * write of a single-partition report — report-sized output). The
+    * pre-built nested `entities` JSON is spliced in unquoted. */
+  def writeClusterEntityTreeJson(tree: DataFrame, path: String): Unit =
+    tree.coalesce(1).sortWithinPartitions(col("cnt").desc, col("cluster_id").asc)
+      .select(concat(
+        to_json(struct(col("cluster_id").as("cluster_uri"), col("cnt")))
+          .substr(lit(1), length(to_json(struct(col("cluster_id").as("cluster_uri"), col("cnt")))) - 1),
+        lit(",\"entities\":"), col("entities"), lit("}")).as("value"))
+      .write.mode("overwrite").text(path)
 
   /** Observable per-stage row counters — the reference's progress
     * counters (update_kg/Updater.py:152) as Spark observable metrics;

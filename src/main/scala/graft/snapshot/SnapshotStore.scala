@@ -49,7 +49,11 @@ class SnapshotStore(val root: String) {
     * built under; [[getOrCreate]] refuses to resume across a
     * fingerprint change. */
   def write(stage: String, df: DataFrame, fingerprint: String = ""): Long = {
-    val snapId = System.currentTimeMillis()
+    // monotonic per stage: two writes within one millisecond (e.g. a
+    // fingerprint-invalidated recompute of a tiny stage) must not
+    // collide on directory + manifest key
+    val snapId = math.max(current(stage).map(_ + 1L).getOrElse(0L),
+      System.currentTimeMillis())
     val dir = s"$root/$stage/snap-$snapId"
     df.withColumn("_pid", spark_partition_id())
       .write.mode("overwrite").parquet(dir)

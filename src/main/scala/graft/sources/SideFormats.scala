@@ -38,6 +38,19 @@ object SideFormats {
       .withColumn("cluster_key", md5(to_json(sort_array(col("members")))))
       .select(col("cluster_key"), explode(col("members")).as("member_id"))
 
+  /** Write relation-cluster member rows
+    * ([[graft.canon.RelationClusters.cluster]] shape) as reference
+    * `.jl`: one JSON array of member statement ids per cluster per
+    * line (Updater.py:240-244). The member ARRAY exists only here, at
+    * the sink, scoped to one output line — the pipeline carries rows
+    * (no unbounded collect_set on a skewable relation key upstream). */
+  def writeRelationsJl(clusterRows: DataFrame, path: String): Unit =
+    clusterRows
+      .groupBy(col("relation_cluster_id"))
+      .agg(sort_array(collect_set(col("stmt_id"))).as("members"))
+      .select(to_json(col("members")).as("value"))
+      .write.mode("overwrite").text(path)
+
   /** Informative-justification CSV schema (sparse by modality). */
   val infJustSchema: StructType = StructType(Seq(
     StructField("entity", StringType), StructField("just_type", StringType),

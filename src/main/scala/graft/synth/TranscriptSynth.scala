@@ -142,8 +142,11 @@ object TranscriptSynth {
   private val toolNames = Array("search", "calc", "db", "browser")
 
   /** One planted fact: subj family, verb, obj family, optional place
-    * family (-1 = none). */
-  final case class Fact(subjFam: Int, verb: String, objFam: Int, placeFam: Int)
+    * family, optional person participant family (-1 = none) — the
+    * ≥3-role event families that exercise arbitrary-arity argument
+    * sets in event coreference. */
+  final case class Fact(subjFam: Int, verb: String, objFam: Int,
+      placeFam: Int, partFam: Int = -1)
 
   private def famOfKind(cfg: Config, kind: Char, i: Long, salt: Long): Int = kind match {
     case 'P' =>
@@ -167,7 +170,15 @@ object TranscriptSynth {
         if (placeVerbs.contains(verb) && pick(cfg.seed, i, 6L, 10) < 4)
           famOfKind(cfg, 'G', i, 7L)
         else -1
-      if (obj == subj) None else Some(Fact(subj, verb, obj, place))
+      // optional person participant ("with <PER>") — 3- and 4-role
+      // events; never the subj/obj family (no self-accompaniment)
+      val part =
+        if (pick(cfg.seed, i, 15L, 10) < 3) {
+          val p0 = famOfKind(cfg, 'P', i, 16L)
+          val p = if (p0 == subj || p0 == obj) famOfKind(cfg, 'P', i, 17L) else p0
+          if (p == subj || p == obj) -1 else p
+        } else -1
+      if (obj == subj) None else Some(Fact(subj, verb, obj, place, part))
     }
   }
 
@@ -180,7 +191,7 @@ object TranscriptSynth {
     val ts = new Timestamp(epoch0 + conv * 86400000L + tIdx * 60000L)
     val convId = f"conv$conv%08d"
     factAt(cfg, i) match {
-      case Some(Fact(s, verb, o, p)) =>
+      case Some(Fact(s, verb, o, p, pa)) =>
         val sSurf = surface(cfg, s, pick(cfg.seed, i, 8L, 10))
         val oSurf = surface(cfg, o, pick(cfg.seed, i, 9L, 10))
         val verbText =
@@ -188,9 +199,11 @@ object TranscriptSynth {
           else if (verb == "visited" && pick(cfg.seed, i, 10L, 2) == 0) "traveled to"
           else verb
         val placeText = if (p >= 0) " in " + canonical(cfg, p) else ""
+        val partText =
+          if (pa >= 0) " with " + surface(cfg, pa, pick(cfg.seed, i, 18L, 10)) else ""
         val prefix = prefixes(pick(cfg.seed, i, 11L, prefixes.length))
         val role = if (tIdx % 2 == 0) "user" else "assistant"
-        Turn(convId, tIdx, role, s"$prefix$sSurf $verbText $oSurf$placeText.", null, ts)
+        Turn(convId, tIdx, role, s"$prefix$sSurf $verbText $oSurf$placeText$partText.", null, ts)
       case None =>
         val kindRoll = pick(cfg.seed, i, 1L, 10)
         if (kindRoll >= 8) {
@@ -223,14 +236,15 @@ object TranscriptSynth {
     * coreferent events; the value is the expected member count. The
     * ID-insensitive parity target for event coreference (same
     * content-comparison contract as [[goldenTriples]]). */
-  def goldenEventFrames(cfg: Config): Map[(String, String, String, String), Long] = {
-    val out = scala.collection.mutable.Map.empty[(String, String, String, String), Long]
+  def goldenEventFrames(cfg: Config): Map[(String, String, String, String, String), Long] = {
+    val out = scala.collection.mutable.Map.empty[(String, String, String, String, String), Long]
     var i = 0L
     while (i < cfg.nTurns) {
       factAt(cfg, i).foreach { f =>
         val pred = Lexicon.triggers(f.verb)._1
         val key = (pred, canonical(cfg, f.subjFam), canonical(cfg, f.objFam),
-          if (f.placeFam >= 0) canonical(cfg, f.placeFam) else null)
+          if (f.placeFam >= 0) canonical(cfg, f.placeFam) else null,
+          if (f.partFam >= 0) canonical(cfg, f.partFam) else null)
         out(key) = out.getOrElse(key, 0L) + 1L
       }
       i += 1

@@ -19,7 +19,8 @@ class EventGoldenSpec extends AnyFunSuite {
     val frames = EventCoref
       .namedFrames(r.eventClusters, r.eventArgs, r.memberships, r.prototypes)
       .collect()
-      .map(x => (x.getString(1), x.getString(2), x.getString(3), x.getString(4)) -> x.getLong(5))
+      .map(x => (x.getString(1), x.getString(2), x.getString(3), x.getString(4),
+        x.getString(5)) -> x.getLong(6))
       .toMap
     val golden = TranscriptSynth.goldenEventFrames(cfg)
 

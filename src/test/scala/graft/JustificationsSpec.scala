@@ -68,11 +68,17 @@ class JustificationsSpec extends AnyFunSuite {
       st("s1", "a1", "b1"), st("s2", "a2", "b1"), // same (pred, cA, cB)
       st("s3", "a1", "c1"), // different obj cluster
       st("s4", "a1", "b1", "Other")).toDS() // different pred
-    val rc = RelationClusters.cluster(stmts, ms).collect()
-    assert(rc.length == 3)
-    val merged = rc.find(_.getSeq[String](2).toSet == Set("s1", "s2"))
+    val rows = RelationClusters.cluster(stmts, ms).collect()
+    assert(rows.length == 4) // one row per MEMBER statement
+    val byCluster = rows.groupBy(_.getString(0))
+    assert(byCluster.size == 3)
+    val merged = byCluster.values.find(_.map(_.getString(2)).toSet == Set("s1", "s2"))
     assert(merged.isDefined)
-    assert(merged.get.getLong(3) == 2)
+    assert(merged.get.forall(_.getLong(3) == 2)) // n_members on every row
+    val summary = RelationClusters.summary(
+      RelationClusters.cluster(stmts, ms)).collect()
+    assert(summary.length == 3)
+    assert(summary.map(_.getLong(2)).sorted.toSeq == Seq(1L, 1L, 2L))
   }
 
   test("prototype justification copy-backs carry every member span (proto_justi)") {

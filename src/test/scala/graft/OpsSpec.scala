@@ -167,6 +167,115 @@ class OpsSpec extends AnyFunSuite {
     assert(big.length == 20)
   }
 
+  test("IVF batch ANN matches the per-query operator, no driver loop") {
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      val v = if (i % 2 == 0) Seq(1.0f, 0.003f * i, 0f, 0f)
+      else Seq(0f, 0f, 1.0f, 0.003f * i)
+      (i.toLong, v)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val (assigned, centers) = Similarity.ivfIndex(e, nCentroids = 2)
+    val queries = (0 until 10).map { qi =>
+      (qi.toLong, Seq(0.9f + 0.01f * qi, 0.01f * qi, 0.02f * qi, 0f))
+    }
+    val qDf = queries.toDF("query_id", "embedding")
+    val batch = Similarity.ivfTopKBatch(assigned, centers, qDf, k = 5, nprobe = 1)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+    queries.foreach { case (qi, emb) =>
+      val single = Similarity.ivfTopK(assigned, centers, emb, 5, nprobe = 1)
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch(qi) == single, s"query $qi: batch ${batch(qi)} != single $single")
+    }
+    // under-filled posting lists fall back per query — never under-returns
+    val big = Similarity.ivfTopKBatch(assigned, centers, qDf, k = 30, nprobe = 1)
+      .collect().groupBy(_.getLong(0))
+    assert(big.values.forall(_.length == 30))
+  }
+
+  // ---- real multimodal decoders ------------------------------------
+
+  private def wavBytes(samples: Array[Short], sampleRate: Int = 8000,
+      channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  private def bmpBytes(width: Int, height: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowBytes = ((width * 3 + 3) / 4) * 4
+    val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * height)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * height)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(rowBytes * height).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    for (y <- height - 1 to 0 by -1) { // bottom-up rows
+      for (x <- 0 until width) {
+        val (r, g, b) = rgb(x, y)
+        bb.put(b.toByte).put(g.toByte).put(r.toByte)
+      }
+      for (_ <- width * 3 until rowBytes) bb.put(0.toByte)
+    }
+    bb.array()
+  }
+
+  test("WAV decode derives real acoustic features from PCM samples") {
+    import spark.implicits._
+    // 0.1 s of a 1 kHz sine at half amplitude, 8 kHz mono
+    val n = 800
+    val samples = Array.tabulate(n)(i =>
+      (16384 * math.sin(2 * math.Pi * i / 8.0)).toShort)
+    val media = Seq(Multimodal.MediaRow("w1", "audio", wavBytes(samples),
+      0, 0, 100L, "doc1")).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.ok, String.valueOf(f.error))
+    val emb = f.embedding
+    assert(math.abs(emb(0) - 0.1f) < 1e-4, s"duration ${emb(0)}")
+    assert(math.abs(emb(1) - 0.5 / math.sqrt(2)) < 0.01, s"rms ${emb(1)}")
+    assert(math.abs(emb(2) - 0.25) < 0.01, s"zcr ${emb(2)}")
+    assert(math.abs(emb(4) - 0.5) < 0.01, s"peak ${emb(4)}")
+    assert(math.abs(emb(5) - 8000f / 48000f) < 1e-5)
+    // the 8-segment envelope of a steady sine is flat at the global RMS
+    (8 until 16).foreach(k => assert(math.abs(emb(k) - emb(1)) < 0.01))
+  }
+
+  test("BMP decode derives real pixel features; malformed payloads fail per-row") {
+    import spark.implicits._
+    // left half pure red, right half pure blue, 8x4
+    val bmp = bmpBytes(8, 4, (x, _) => if (x < 4) (255, 0, 0) else (0, 0, 255))
+    val truncatedWav = wavBytes(Array.tabulate(100)(_.toShort)).take(50)
+    val media = Seq(
+      Multimodal.MediaRow("b1", "image", bmp, 8, 4, 0L, "doc1"),
+      Multimodal.MediaRow("w2", "audio", truncatedWav, 0, 0, 0L, "doc1")).toDS()
+    val out = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    val b1 = out("b1")
+    assert(b1.ok, String.valueOf(b1.error))
+    assert(math.abs(b1.embedding(2) - 0.5f) < 1e-3) // mean R
+    assert(math.abs(b1.embedding(3) - 0.0f) < 1e-3) // mean G
+    assert(math.abs(b1.embedding(4) - 0.5f) < 1e-3) // mean B
+    // grid: left cells red-luma (0.299), right cells blue-luma (0.114)
+    assert(math.abs(b1.embedding(8) - 0.299f) < 1e-3)
+    assert(math.abs(b1.embedding(11) - 0.114f) < 1e-3)
+    // truncated WAV: captured as a row-level failure, job survives
+    assert(!out("w2").ok)
+    assert(out("w2").error != null)
+  }
+
   test("langid picks the stopword-dominant language") {
     val d = spark.createDataFrame(Seq(
       (1L, "the cat and the dog went to the market of the town"),

@@ -92,6 +92,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in event coref: $plan")
   }
 
+  test("banded self-joins evaluate each hash kernel once (checkpoint, not recompute)") {
+    import spark.implicits._
+    val d = (0 until 20).map(i => (i.toLong, s"some document text number $i with words"))
+      .toDF("doc_id", "text")
+    // the candidate/pair plans must contain ZERO kernel invocations:
+    // the compact projection is materialized before banding, so the
+    // B-band × 2-side self-join scans the checkpoint instead of
+    // re-evaluating the signature kernel up to 2B× per doc
+    val mh = graft.ops.Dedup.minHashCandidates(graft.ops.Dedup.minHashSignatures(d))
+    assert(!planString(mh).contains("graft_minhash_sig"),
+      "minhash kernel re-evaluated inside the banded join")
+    assert(planString(mh).contains("ExistingRDD"), "banding does not scan the checkpoint")
+    val sh = graft.ops.Dedup.simHashPairs(graft.ops.Dedup.simHash(d))
+    assert(!planString(sh).contains("graft_simhash"),
+      "simhash kernel re-evaluated inside the chunk join")
+    val e = (0 until 16).map(i => (i.toLong, Seq.tabulate(8)(j => (i + j) / 16.0f)))
+      .toDF("vec_id", "embedding")
+    val cp = graft.ops.Similarity.cosinePairs(e, threshold = 0.5)
+    assert(!planString(cp).contains("graft_lsh_bucket"),
+      "lsh bucket kernel re-evaluated inside the bucket self-join")
+  }
+
   test("superedge aggregation uses partial aggregation (map-side combine)") {
     import spark.implicits._
     val ms = Seq(graft.schema.Membership("c1", "m1", 1.0)).toDS()

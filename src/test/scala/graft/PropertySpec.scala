@@ -27,13 +27,13 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("event frames independent of input partitioning (parallelism invariance)") {
-    def frames(parts: Int): Set[(String, String, String, String, Long)] = {
+    def frames(parts: Int): Set[(String, String, String, String, String, Long)] = {
       val r = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = parts))
       graft.canon.EventCoref
         .namedFrames(r.eventClusters, r.eventArgs, r.memberships, r.prototypes)
         .collect()
         .map(x => (x.getString(1), x.getString(2), x.getString(3),
-          x.getString(4), x.getLong(5))).toSet
+          x.getString(4), x.getString(5), x.getLong(6))).toSet
     }
     assert(frames(3) == frames(16))
   }

@@ -22,7 +22,7 @@ class ResumeSpec extends AnyFunSuite {
     val n1 = Main.runResumable(spark, turns, store)
     assert(n1 > 0)
     val stages = store.manifestEntries().size
-    assert(stages == 17) // ke..triples + events/relations/justifications
+    assert(stages == 19) // ke..triples + events/relations/justifications + proto copy-backs
     // the event/relation/justification stages are genuinely populated
     assert(store.read(spark, "event_clusters").get.count() > 0)
     assert(store.read(spark, "event_prototypes").get.count() > 0)
