@@ -11,7 +11,13 @@ object Verify {
     // shuffle dirs, AQE, small-file split sizing) — see graft.Sessions
     val spark = Sessions.local(cpus.toInt, "graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev lever: SPARK_GRAFT_VERIFY_ONLY=q_a,q_b restricts the dump to
+    // named queries (e.g. re-validating one oracle at a larger sf)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -179,6 +179,52 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rn"))
   }
 
+  /** BATCH LSH ANN: multi-probe top-k for a whole TABLE of query
+    * vectors — the [[lshTopK]] semantics with no per-query driver
+    * round-trips. `queries` needs (query_id, embedding).
+    *
+    * Plan: bucket the corpus once (checkpointed — one kernel eval per
+    * vector, shared by the candidate join and the fallback scan),
+    * bucket the queries with the SAME seeded hyperplanes, explode each
+    * query to its ≤Hamming-h probe buckets (the flip masks depend only
+    * on nBits/probeHamming — a driver-side literal array), equi-join on
+    * `bucket`, per-query cosine top-k window. Queries whose probed
+    * buckets hold fewer than k candidates are re-run against the full
+    * corpus (anti-join-gated per-query fallback — the same
+    * never-under-returns contract as [[lshTopK]]). */
+  def lshTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+      nBits: Int = 8, probeHamming: Int = 1, seed: Int = 42): DataFrame = {
+    val b = lshBuckets(embeddings, nBits, seed)
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+      .localCheckpoint(true)
+    def flips(base: Long, fromBit: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(base)
+      else (fromBit until nBits).flatMap(bit =>
+        flips(base ^ (1L << bit), bit + 1, left - 1))
+    val masks = (0 to probeHamming).flatMap(h => flips(0L, 0, h)).distinct
+    val probes = lshBuckets(
+        queries.select(col("query_id"), col("embedding")), nBits, seed)
+      .select(col("query_id"), col("embedding").as("q_emb"),
+        explode(array(masks.map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val cand = probes.join(b, "bucket")
+      .select(col("query_id"), col("q_emb"), col("vec_id"), col("embedding"))
+    val short = cand.groupBy(col("query_id")).agg(count(lit(1)).as("nc"))
+      .filter(col("nc") < k).select(col("query_id"))
+    val fallback = queries.join(short, "query_id")
+      .select(col("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(b.select(col("vec_id"), col("embedding")))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cand.unionByName(fallback)
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rn"))
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine ≥ τ,
     * LSH-blocked (pairs only within a bucket) — the embedding-cosine
     * near-dup dedup operator. */

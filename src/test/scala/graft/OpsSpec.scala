@@ -195,6 +195,33 @@ class OpsSpec extends AnyFunSuite {
     assert(big.values.forall(_.length == 30))
   }
 
+  test("LSH batch ANN matches the per-query operator, no driver loop") {
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      val v = if (i % 2 == 0) Seq(1.0f, 0.003f * i, 0f, 0f)
+      else Seq(0f, 0f, 1.0f, 0.003f * i)
+      (i.toLong, v)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val queries = (0 until 10).map { qi =>
+      (qi.toLong, Seq(0.9f + 0.01f * qi, 0.01f * qi, 0.02f * qi, 0f))
+    }
+    val qDf = queries.toDF("query_id", "embedding")
+    val batch = Similarity.lshTopKBatch(e, qDf, k = 5, nBits = 4, probeHamming = 1)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+    queries.foreach { case (qi, emb) =>
+      val single = Similarity.lshTopK(e, emb, 5, nBits = 4, probeHamming = 1)
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch(qi) == single, s"query $qi: batch ${batch(qi)} != single $single")
+    }
+    // probed buckets too small for k → per-query brute-force fallback
+    val big = Similarity.lshTopKBatch(e, qDf, k = 30, nBits = 4, probeHamming = 0)
+      .collect().groupBy(_.getLong(0))
+    assert(big.size == 10 && big.values.forall(_.length == 30))
+  }
+
   // ---- real multimodal decoders ------------------------------------
 
   private def wavBytes(samples: Array[Short], sampleRate: Int = 8000,
