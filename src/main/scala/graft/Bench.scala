@@ -107,6 +107,8 @@ object Bench {
     val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "4").toInt
     def quietFrac(sec: Double, stealSec: Double): Double =
       stealSec / math.max(sec * machineCores, 1e-9)
+    // 5%: measured windows show <2% steal on good runs, 9% on runs
+    // still 4x off the engine number — 10% admitted weather as "quiet"
     var sawQuiet = false
     while (pipelineRuns.size < 2 || (!sawQuiet && pipelineRuns.size < maxRuns)) {
       val (s0, _) = cpuJiffies()
@@ -114,7 +116,7 @@ object Bench {
       val (s1, _) = cpuJiffies()
       val stealSec = (s1 - s0) / 100.0
       pipelineRuns += ((sec, stealSec))
-      if (quietFrac(sec, stealSec) < 0.10) sawQuiet = true
+      if (quietFrac(sec, stealSec) < 0.05) sawQuiet = true
     }
     weather = if (sawQuiet) "ok" else "high_steal"
     timings("kg_pipeline") = pipelineRuns.map(_._1).min

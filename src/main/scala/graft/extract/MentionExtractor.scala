@@ -55,8 +55,13 @@ object MentionExtractor {
     new String(out)
   }
 
-  private final case class Tok(raw: String, clean: String, start: Int, end: Int)
-  private final case class Span(tokens: List[Tok], etype: String) {
+  private final case class Tok(clean: String, start: Int, end: Int)
+  /** startIdx/endIdx are TOKEN indices into the turn's token array —
+    * carried so span-gap tests are O(1) field reads instead of a
+    * per-turn token→index hash map (extraction is the volume-dominant,
+    * allocation-bound stage; see BASELINE.md round-3). */
+  private final case class Span(tokens: List[Tok], etype: String,
+      startIdx: Int, endIdx: Int) {
     def start: Int = tokens.head.start
     def end: Int = tokens.last.end
     def name: String = tokens.map(_.clean).mkString(" ")
@@ -73,15 +78,14 @@ object MentionExtractor {
       val s = i
       while (i < n && text.charAt(i) != ' ') i += 1
       if (i > s) {
-        val raw = text.substring(s, i)
         var e = i
         // strip trailing sentence punctuation from the token value but
         // keep "F." person initials intact
-        var clean = raw
+        var clean = text.substring(s, i)
         while (clean.nonEmpty && ",.;:!?".indexOf(clean.last) >= 0 &&
           !(clean.length == 2 && clean.head.isUpper && clean.last == '.'))
           { clean = clean.dropRight(1); e -= 1 }
-        if (clean.nonEmpty) out += Tok(raw, clean, s, e)
+        if (clean.nonEmpty) out += Tok(clean, s, e)
       }
     }
     out.result()
@@ -99,7 +103,7 @@ object MentionExtractor {
         val s = i
         while (i < toks.length && isCap(toks(i))) i += 1
         val run = toks.slice(s, i).toList
-        out += Span(run, Lexicon.classify(run.map(_.clean)))
+        out += Span(run, Lexicon.classify(run.map(_.clean)), s, i - 1)
       } else i += 1
     }
     out.result()
@@ -118,10 +122,11 @@ object MentionExtractor {
       val toks = tokenize(t.text)
       val sp = spans(toks)
       val mentions = sp.map { s =>
-        val norm = s.name.toLowerCase.split(' ')
+        val nm = s.name
+        val norm = nm.toLowerCase.split(' ')
           .map(Lexicon.normToken).mkString(" ")
-        val id = md5(s"${t.conv_id}|${t.turn_idx}|${s.start}|${s.end}|${s.name}")
-        Mention(id, t.conv_id, t.turn_idx, "entity", s.etype, s.name, norm,
+        val id = md5(s"${t.conv_id}|${t.turn_idx}|${s.start}|${s.end}|$nm")
+        Mention(id, t.conv_id, t.turn_idx, "entity", s.etype, nm, norm,
           s.start, s.end, conf(id), Lexicon.kbDict.getOrElse(norm, null))
       }.toVector
       // trigger detection between consecutive spans: S1 <verb|phrase> S2
@@ -129,19 +134,22 @@ object MentionExtractor {
       val events = List.newBuilder[Mention]
       val eventArgs = List.newBuilder[EventArg]
       val spArr = sp.toArray
-      val tokIdx = toks.zipWithIndex.toMap
-      def tokPos(tk: Tok): Int = tokIdx(tk)
       var k = 0
       while (k + 1 < spArr.length) {
         val s1 = spArr(k); val s2 = spArr(k + 1)
-        val betweenToks = toks.slice(tokPos(s1.tokens.last) + 1, tokPos(s2.tokens.head))
-        val between = betweenToks.map(_.clean.toLowerCase)
-        val verb: Option[String] = between match {
-          case Array(v) if Lexicon.triggers.contains(v) => Some(v)
-          case Array(a, b) if Lexicon.phraseTriggers.contains(s"$a $b") =>
-            Some(Lexicon.phraseTriggers(s"$a $b"))
-          case _ => None
-        }
+        // gap = tokens strictly between the two spans (index arithmetic,
+        // no slices/maps on the non-trigger fast path)
+        val gapStart = s1.endIdx + 1
+        val gapLen = s2.startIdx - gapStart
+        val verb: Option[String] =
+          if (gapLen == 1) {
+            val v = toks(gapStart).clean.toLowerCase
+            if (Lexicon.triggers.contains(v)) Some(v) else None
+          } else if (gapLen == 2) {
+            Lexicon.phraseTriggers.get(
+              toks(gapStart).clean.toLowerCase + " " +
+                toks(gapStart + 1).clean.toLowerCase)
+          } else None
         verb.foreach { v =>
           val pred = Lexicon.triggers(v)._1
           val m1 = mentions(k); val m2 = mentions(k + 1)
@@ -154,19 +162,21 @@ object MentionExtractor {
           // reference's event json head carries exactly trigger text +
           // typed args, update_kg/Updater.py:323-345)
           val evId = md5(s"${t.conv_id}|${t.turn_idx}|ev|$pred|${m1.mention_id}|${m2.mention_id}")
-          val trigText = betweenToks.map(_.clean).mkString(" ")
+          val trigText =
+            if (gapLen == 1) toks(gapStart).clean
+            else toks(gapStart).clean + " " + toks(gapStart + 1).clean
           events += Mention(evId, t.conv_id, t.turn_idx, "event", pred,
-            trigText, v, betweenToks.head.start, betweenToks.last.end,
-            conf(evId), null)
+            trigText, v, toks(gapStart).start,
+            toks(gapStart + gapLen - 1).end, conf(evId), null)
           eventArgs += EventArg(evId, "Subject", m1.mention_id)
           eventArgs += EventArg(evId, "Object", m2.mention_id)
           // optional place clause: ... S2 in S3(GPE)
           var placeFound = false
           if (k + 2 < spArr.length) {
             val s3 = spArr(k + 2)
-            val mid = toks.slice(tokPos(s2.tokens.last) + 1, tokPos(s3.tokens.head))
-              .map(_.clean.toLowerCase)
-            if (mid.sameElements(Array("in")) && s3.etype == Lexicon.GPE) {
+            if (s3.startIdx - s2.endIdx == 2 &&
+              toks(s2.endIdx + 1).clean.toLowerCase == "in" &&
+              s3.etype == Lexicon.GPE) {
               val m3 = mentions(k + 2)
               stmts += Statement(
                 md5(s"${t.conv_id}|${t.turn_idx}|$pred.Place|${m1.mention_id}|${m3.mention_id}"),
@@ -185,9 +195,9 @@ object MentionExtractor {
           val pIdx = if (placeFound) k + 3 else k + 2
           if (pIdx < spArr.length) {
             val prev = spArr(pIdx - 1); val sp = spArr(pIdx)
-            val mid = toks.slice(tokPos(prev.tokens.last) + 1, tokPos(sp.tokens.head))
-              .map(_.clean.toLowerCase)
-            if (mid.sameElements(Array("with")) && sp.etype == Lexicon.PER)
+            if (sp.startIdx - prev.endIdx == 2 &&
+              toks(prev.endIdx + 1).clean.toLowerCase == "with" &&
+              sp.etype == Lexicon.PER)
               eventArgs += EventArg(evId, "Participant", mentions(pIdx).mention_id)
           }
         }
