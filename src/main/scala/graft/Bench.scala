@@ -85,10 +85,15 @@ object Bench {
     }
 
     def onePipeline(): Double = {
-      // drop the previous run's checkpoint blocks first: event-log
-      // profiling showed run 2's ke checkpoint at 5x run 1's executor
-      // time with ~25% GC purely from run 1's pinned blocks
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // drop the previous run's checkpoint blocks first, and BLOCK on
+      // it: event-log profiling showed run 2's ke checkpoint at 5-19x
+      // run 1's executor time (run=1568s gc=448s vs run=82s gc=9s for
+      // identical work) when the async unpersist left run 1's blocks
+      // resident through run 2's allocation burst. The explicit gc
+      // compacts the heap before the next measurement — standard bench
+      // hygiene, not production advice.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
       val t0 = System.nanoTime()
       val r = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = cpus * 2))
       nTriples = r.triples.count()
