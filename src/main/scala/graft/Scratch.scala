@@ -43,6 +43,27 @@ object Scratch {
       spark.stop()
       return
     }
+    if (sys.env.get("SCRATCH_MODE").contains("parts")) {
+      // partitioning audit of the materialized stage boundaries — a
+      // 1-partition checkpoint is a serialization point (one 136s task
+      // in a profiled bench run)
+      val r = Pipeline.run(turns)
+      for ((nm, df) <- Seq(
+          "mentions" -> r.mentions.toDF(), "statements" -> r.statements.toDF(),
+          "surfaces" -> r.surfaces, "components" -> r.components,
+          "surfaceClusters" -> r.surfaceClusters,
+          "memberships" -> r.memberships.toDF(),
+          "prototypes" -> r.prototypes.toDF(),
+          "superEdges" -> r.superEdges.toDF()))
+        println(s"[scratch] $nm partitions=${df.rdd.getNumPartitions} rows=${df.count()}")
+      // the membership JOIN plan as the pipeline builds it (pre-checkpoint)
+      val m2 = Canonicalizer.memberships(r.mentions, r.surfaceClusters)
+      m2.toDF().write.format("noop").mode("overwrite").save()
+      println("[scratch] memberships executedPlan:\n" +
+        m2.queryExecution.executedPlan.toString.take(4000))
+      spark.stop()
+      return
+    }
     if (sys.env.get("SCRATCH_MODE").contains("bench")) {
       val n = time("pipeline_end_to_end") {
         Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = cores * 2))

@@ -51,11 +51,20 @@ object Canonicalizer {
   def memberships(mentions: Dataset[Mention], surfClusters: DataFrame): Dataset[Membership] = {
     val spark = mentions.sparkSession
     import spark.implicits._
+    // EXPLICIT broadcast of the surface dictionary: left to its own
+    // stats Catalyst picked BuildLeft here — broadcasting the
+    // corpus-scale MENTIONS side and streaming the dictionary, which
+    // (a) OOMs outright at scale and (b) leaves the output with the
+    // dictionary's (often 1) partition, serializing the membership
+    // checkpoint and every consumer's map side (profiled: one 136s
+    // task). The auto-switch in Pipeline.run sends oversized
+    // dictionaries to membershipsSalted instead, so the broadcast here
+    // is always the small side.
     mentions.toDF()
       .join(
-        surfClusters.select(
+        broadcast(surfClusters.select(
           col("etype").as("s_etype"), col("norm_name").as("s_norm"),
-          col("link_target").as("s_link"), col("cluster_id")),
+          col("link_target").as("s_link"), col("cluster_id"))),
         col("etype") === col("s_etype") && col("norm_name") === col("s_norm") &&
           col("link_target") <=> col("s_link"))
       .select(col("cluster_id"), col("mention_id").as("member_id"),
@@ -69,13 +78,15 @@ object Canonicalizer {
   def prototypes(mentions: Dataset[Mention], surfClusters: DataFrame): Dataset[Prototype] = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    // one mention-scale shuffle → compact per-cluster attribute counts
+    // one mention-scale shuffle → compact per-cluster attribute counts.
+    // broadcast the dictionary side explicitly (same BuildLeft hazard
+    // as `memberships` — see the comment there)
     val attrCnt = mentions.toDF()
       .join(
-        surfClusters.select(
+        broadcast(surfClusters.select(
           col("etype").as("s_etype"), col("norm_name").as("s_norm"),
           col("link_target").as("s_link"), col("cluster_id"), col("prototype_id"),
-          col("kind").as("s_kind")),
+          col("kind").as("s_kind"))),
         col("etype") === col("s_etype") && col("norm_name") === col("s_norm") &&
           col("link_target") <=> col("s_link"))
       .groupBy(col("cluster_id"), col("prototype_id"), col("s_kind"),

@@ -81,6 +81,16 @@ class PlanSpec extends AnyFunSuite {
     val plan = join.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"small surface dict not broadcast: $plan")
+    // the SIDE matters as much as the strategy: stats once led Catalyst
+    // to BuildLeft — broadcasting corpus-scale MENTIONS and streaming
+    // the 1-partition dictionary, which serializes the membership
+    // checkpoint (one 136s task profiled) and OOMs at scale. The
+    // dictionary is the right/build side; output partitioning must be
+    // the mention side's.
+    assert(plan.contains("BuildRight"),
+      s"membership join builds the mention side (BuildLeft): $plan")
+    assert(join.rdd.getNumPartitions > 1,
+      "membership output collapsed to the dictionary's single partition")
   }
 
   test("event coreference plans no cartesian product") {
