@@ -81,11 +81,17 @@ object Main {
     val surfClusters = store.getOrCreate(spark, "surface_clusters", fp) {
       Canonicalizer.withKind(Canonicalizer.surfaceClusters(surf, comp))
     }
+    // the same dictionary-size gate Pipeline.run applies: broadcast
+    // hints only while the surface dictionary fits the broadcast
+    // threshold; above it, salted (memberships) / un-hinted shuffle
+    // (prototypes) paths
+    val dictFits = surfClusters.count() <= Pipeline.SaltedMembershipRows
     val memberships = store.getOrCreate(spark, "memberships", fp) {
-      Canonicalizer.memberships(mentions, surfClusters).toDF()
+      (if (dictFits) Canonicalizer.memberships(mentions, surfClusters)
+       else Canonicalizer.membershipsSalted(mentions, surfClusters)).toDF()
     }.as[Membership]
     val prototypes = store.getOrCreate(spark, "prototypes", fp) {
-      Canonicalizer.prototypes(mentions, surfClusters).toDF()
+      Canonicalizer.prototypes(mentions, surfClusters, broadcastDict = dictFits).toDF()
     }.as[Prototype]
     val superEdges = store.getOrCreate(spark, "superedges", fp) {
       SuperEdges.superEdges(statements, memberships).toDF()

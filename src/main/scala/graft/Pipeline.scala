@@ -61,16 +61,26 @@ object Pipeline {
       // OWN its lifecycle (see [[Result.unpersist]])
       annotatedMembers: DataFrame) {
 
-    /** Release the cached shared join. Ownership contract: `run`
-      * persists `annotatedMembers` lazily (MEMORY_AND_DISK) so the
-      * justification outputs scan it once; the cache is populated only
-      * if a justification output is forced, and it is the CALLER's job
-      * to call this after the last such action — repeated `run`s in
-      * one session otherwise accumulate pinned blocks (the GC
-      * pathology quantified in BASELINE.md "persist weather"). */
+    /** Release EVERY block this run pinned: the lazily-persisted
+      * `annotatedMembers` cache AND all stage-boundary localCheckpoint
+      * blocks (which `Dataset.unpersist` alone cannot free — see
+      * [[graft.util.Blocks]]). Ownership contract: call after the LAST
+      * action on ANY result frame; the result is unusable afterwards
+      * (checkpoint lineage is truncated, dropped blocks cannot be
+      * recomputed). Library consumers running repeated `run`s in one
+      * session otherwise accumulate pinned blocks (the GC pathology
+      * quantified in BASELINE.md "persist weather" — a later run's
+      * allocation burst against a heap of dead blocks showed 19×
+      * executor time). */
     def unpersist(): Unit = {
       annotatedMembers.unpersist(false)
-      ()
+      graft.util.Blocks.releaseAll(Seq(
+        mentions.toDF(), statements.toDF(), errors, surfaces, components,
+        surfaceClusters, memberships.toDF(), prototypes.toDF(),
+        superEdges.toDF(), triples.toDF(), events.toDF(), eventArgs,
+        eventClusters, eventMemberships.toDF(), eventPrototypes.toDF(),
+        relationClusters, informativeJustifications, clusterLinks,
+        protoJustifications, superEdgeJustifications, annotatedMembers))
     }
   }
 
@@ -117,6 +127,11 @@ object Pipeline {
 
     val (surf, edges) = Linker.matchEdges(mentions, linkCfg) // surf checkpointed inside
     val comp = ConnectedComponents.run(edges.toDF())
+    // the edge list's checkpoint blocks are dead once CC has consumed
+    // them (CC's first round materialized the symmetric copy); its
+    // truncated plan holds no other frame's blocks, so this frees only
+    // the edges themselves
+    graft.util.Blocks.release(edges.toDF())
     val surfClusters = Canonicalizer
       .withKind(Canonicalizer.surfaceClusters(surf, comp))
       .localCheckpoint(true)
@@ -126,12 +141,18 @@ object Pipeline {
     // checkpointed stats); above it the explicit salted join defuses
     // the hot-surface key before the sort-merge shuffle.
     val nSurfaces = surfClusters.count() // checkpointed → cheap metadata-ish scan
+    val dictFits = nSurfaces <= saltedMembershipRows
     val memberships =
-      (if (nSurfaces <= saltedMembershipRows)
-         Canonicalizer.memberships(mentions, surfClusters)
+      (if (dictFits) Canonicalizer.memberships(mentions, surfClusters)
        else Canonicalizer.membershipsSalted(mentions, surfClusters))
         .localCheckpoint(true)
-    val prototypes = Canonicalizer.prototypes(mentions, surfClusters)
+    // prototypes threads the SAME size gate: an unconditional broadcast
+    // hint would force an oversized dictionary past the broadcast limit
+    // where un-hinted Catalyst falls back to a shuffle join (which AQE
+    // then skew-splits; the downstream groupBy's partial agg absorbs
+    // the hot surface either way)
+    val prototypes = Canonicalizer
+      .prototypes(mentions, surfClusters, broadcastDict = dictFits)
       .localCheckpoint(true)
     val superEdges = SuperEdges.superEdges(statements, memberships)
       .localCheckpoint(true)

@@ -175,6 +175,24 @@ object SparkEntry {
       Similarity.cosinePairsExact(
         t(s, d, "embeddings").filter(col("vec_id") < 200), 0.30)
     }),
+    "q_cosine_pairs_lsh" -> ((s, d) => { // RECALL of the LSH-BLOCKED path:
+      // the testdata embeddings hold no pairs above 0.95 (max sim
+      // ≈0.51), so both engines plant a deterministic near-duplicate of
+      // every vector (per-dim factors 1 + k/64, k ∈ [-3,3] — exact in
+      // binary AND decimal, so Spark and DuckDB compute bit-identical
+      // doubles) and the BLOCKED operator must find every planted pair
+      // the oracle's exact all-pairs join finds — any banding recall
+      // miss hash-mismatches this row.
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val dup = base
+        .select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x * (lit(1.0) + ((col("vec_id") * 64 + i) % 7 - 3).cast("double") / lit(64.0)))
+            .as("embedding"))
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      Similarity.cosinePairs(base.unionByName(dup), 0.95)
+    }),
     // ---- cluster-op shapes over testdata tables (DuckDB-oracled):
     // the REAL pipeline operators (RelationClusters / Justifications)
     // driven by deterministic statement/membership tables derived from
@@ -600,6 +618,26 @@ object SparkEntry {
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |         round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id) t
-        |WHERE sim >= 0.30""".stripMargin
+        |WHERE sim >= 0.30""".stripMargin,
+    "q_cosine_pairs_lsh" ->
+      // EXACT all-pairs ground truth for the banded/multi-probe LSH
+      // cosine near-dup path, over the same deterministically-planted
+      // near-duplicates the Spark side builds (1 + k/64 per-dim factors
+      // are exact in both decimal and binary floating point, so the two
+      // engines agree bitwise; DuckDB list_transform's index is
+      // 1-based, hence the (i-1)). Every recall miss of the BLOCKED
+      // operator is a missing row here → hash mismatch.
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |pert AS (SELECT vec_id,
+        |  list_transform(emb, (x, i) ->
+        |    x * (1.0 + (CAST(((vec_id*64 + (i-1)) % 7) - 3 AS DOUBLE) / 64.0))) AS emb
+        |  FROM base),
+        |dup AS (SELECT vec_id + 100000 AS vec_id, emb FROM pert),
+        |e AS (SELECT * FROM base UNION ALL SELECT * FROM dup)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+        |WHERE sim >= 0.95""".stripMargin
   )
 }

@@ -1,7 +1,6 @@
 package graft.canon
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.schema.{Membership, Mention, Prototype}
@@ -47,75 +46,100 @@ object Canonicalizer {
       .drop("repkey")
   }
 
-  /** Mention-level memberships (conf = 1.0, reference constant). */
-  def memberships(mentions: Dataset[Mention], surfClusters: DataFrame): Dataset[Membership] = {
+  /** The dictionary side of the mention → surface join, optionally
+    * broadcast-hinted. The hint matters when true: left to its own
+    * stats Catalyst picked BuildLeft here — broadcasting the
+    * corpus-scale MENTIONS side and streaming the dictionary, which
+    * (a) OOMs outright at scale and (b) leaves the output with the
+    * dictionary's (often 1) partition, serializing every consumer's
+    * map side (profiled: one 136s task). But the hint is UNSAFE for an
+    * oversized dictionary (forces a broadcast past the 8GB limit /
+    * driver OOM where un-hinted Catalyst would fall back to shuffle),
+    * so every caller threads the same size gate Pipeline.run uses —
+    * hint only under [[graft.Pipeline.SaltedMembershipRows]]. */
+  private def dict(surfClusters: DataFrame, cols: Seq[org.apache.spark.sql.Column],
+      broadcastDict: Boolean): DataFrame = {
+    val d = surfClusters.select(
+      (Seq(col("etype").as("s_etype"), col("norm_name").as("s_norm"),
+        col("link_target").as("s_link")) ++ cols): _*)
+    if (broadcastDict) broadcast(d) else d
+  }
+
+  private def dictCond: org.apache.spark.sql.Column =
+    col("etype") === col("s_etype") && col("norm_name") === col("s_norm") &&
+      col("link_target") <=> col("s_link")
+
+  /** Mention-level memberships (conf = 1.0, reference constant).
+    * `broadcastDict=false` for oversized dictionaries (see [[dict]];
+    * the hot-key-safe alternative is [[membershipsSalted]]). */
+  def memberships(mentions: Dataset[Mention], surfClusters: DataFrame,
+      broadcastDict: Boolean = true): Dataset[Membership] = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    // EXPLICIT broadcast of the surface dictionary: left to its own
-    // stats Catalyst picked BuildLeft here — broadcasting the
-    // corpus-scale MENTIONS side and streaming the dictionary, which
-    // (a) OOMs outright at scale and (b) leaves the output with the
-    // dictionary's (often 1) partition, serializing the membership
-    // checkpoint and every consumer's map side (profiled: one 136s
-    // task). The auto-switch in Pipeline.run sends oversized
-    // dictionaries to membershipsSalted instead, so the broadcast here
-    // is always the small side.
     mentions.toDF()
-      .join(
-        broadcast(surfClusters.select(
-          col("etype").as("s_etype"), col("norm_name").as("s_norm"),
-          col("link_target").as("s_link"), col("cluster_id"))),
-        col("etype") === col("s_etype") && col("norm_name") === col("s_norm") &&
-          col("link_target") <=> col("s_link"))
+      .join(dict(surfClusters, Seq(col("cluster_id")), broadcastDict), dictCond)
       .select(col("cluster_id"), col("mention_id").as("member_id"),
         lit(1.0).as("conf"))
       .as[Membership]
   }
 
   /** Prototypes with mode-name / mode-type / mode-link and member
-    * counts, computed from one compact (cluster, name, etype, link)
-    * aggregate. */
-  def prototypes(mentions: Dataset[Mention], surfClusters: DataFrame): Dataset[Prototype] = {
+    * counts — ONE single-consumer plan, no cache: the per-cluster
+    * attribute counts are unpivoted to (cluster, attr, value, cnt)
+    * rows, summed per value, and all three modes + n_members are read
+    * off ONE final per-cluster aggregate (`max(struct(n, value))` =
+    * most frequent value, ties to the max label — A5 semantics,
+    * matching the reference's nested proto_name/proto_type subqueries,
+    * update_kg/sparqls.py:302-388). Replaces a persist()ed 4-consumer
+    * attrCnt + 3 window argmaxes + 3 joins — and with it the pinned
+    * cache blocks the old shape leaked into long sessions.
+    *
+    * Scale shape: one mention-scale shuffle (the first groupBy, hot
+    * keys absorbed by partial agg), then two compact aggregations over
+    * ≤3 rows per (cluster, attr, value). `broadcastDict` as in
+    * [[memberships]]. */
+  def prototypes(mentions: Dataset[Mention], surfClusters: DataFrame,
+      broadcastDict: Boolean = true): Dataset[Prototype] = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    // one mention-scale shuffle → compact per-cluster attribute counts.
-    // broadcast the dictionary side explicitly (same BuildLeft hazard
-    // as `memberships` — see the comment there)
     val attrCnt = mentions.toDF()
-      .join(
-        broadcast(surfClusters.select(
-          col("etype").as("s_etype"), col("norm_name").as("s_norm"),
-          col("link_target").as("s_link"), col("cluster_id"), col("prototype_id"),
-          col("kind").as("s_kind"))),
-        col("etype") === col("s_etype") && col("norm_name") === col("s_norm") &&
-          col("link_target") <=> col("s_link"))
+      .join(dict(surfClusters,
+        Seq(col("cluster_id"), col("prototype_id"), col("kind").as("s_kind")),
+        broadcastDict), dictCond)
       .groupBy(col("cluster_id"), col("prototype_id"), col("s_kind"),
         col("name"), col("etype"), col("link_target"))
       .agg(count(lit(1)).as("cnt"))
-      .persist()
-
-    def mode(valueCol: String): DataFrame = {
-      val byVal = attrCnt
-        .filter(col(valueCol).isNotNull)
-        .groupBy(col("cluster_id"), col(valueCol))
-        .agg(sum(col("cnt")).as("n"))
-      val w = Window.partitionBy(col("cluster_id"))
-        .orderBy(col("n").desc, col(valueCol).desc) // max-label tiebreak, A5
-      byVal.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("cluster_id"), col(valueCol))
-    }
-
-    val base = attrCnt.groupBy(col("cluster_id"), col("prototype_id"), col("s_kind"))
-      .agg(sum(col("cnt")).as("n_members"))
-    val out = base
-      .join(mode("name"), Seq("cluster_id"), "left_outer")
-      .join(mode("etype"), Seq("cluster_id"), "left_outer")
-      .join(mode("link_target"), Seq("cluster_id"), "left_outer")
-      .select(col("prototype_id"), col("cluster_id"), col("s_kind").as("kind"),
+    val unpivoted = attrCnt.select(
+      col("cluster_id"), col("prototype_id"), col("s_kind"), col("cnt"),
+      explode(array(
+        struct(lit("name").as("attr"), col("name").as("value")),
+        struct(lit("etype").as("attr"), col("etype").as("value")),
+        struct(lit("link_target").as("attr"), col("link_target").as("value"))))
+        .as("av"))
+      .select(col("cluster_id"), col("prototype_id"), col("s_kind"),
+        col("av.attr").as("attr"), col("av.value").as("value"), col("cnt"))
+    val perValue = unpivoted
+      .groupBy(col("cluster_id"), col("attr"), col("value"))
+      .agg(sum(col("cnt")).as("n"),
+        // constant within a cluster (both are md5 of the same repkey)
+        max(col("prototype_id")).as("prototype_id"),
+        max(col("s_kind")).as("s_kind"))
+    def modeOf(attr: String) =
+      max(when(col("attr") === attr && col("value").isNotNull,
+        struct(col("n"), col("value")))).getField("value")
+    perValue.groupBy(col("cluster_id"))
+      .agg(
+        max(col("prototype_id")).as("prototype_id"),
+        max(col("s_kind")).as("kind"),
+        modeOf("name").as("name"),
+        modeOf("etype").as("etype"),
+        modeOf("link_target").as("link_target"),
+        // every member contributes exactly one `name` unpivot row
+        // (null-valued groups included), so this sums to member count
+        sum(when(col("attr") === "name", col("n"))).as("n_members"))
+      .select(col("prototype_id"), col("cluster_id"), col("kind"),
         col("name"), col("etype"), col("link_target"), col("n_members"))
       .as[Prototype]
-    out
   }
 
   /** Surface-level kind column for surfClusters. Surface clusters are

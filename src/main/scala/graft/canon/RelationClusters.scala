@@ -1,7 +1,6 @@
 package graft.canon
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.schema.{Membership, Statement}
@@ -28,13 +27,21 @@ object RelationClusters {
 
   /** One row per (relation cluster, member statement): deterministic
     * cluster id + canonical group key + the member stmt_id, with the
-    * cluster's member count on every row (a window count — partial-agg
-    * friendly, no giant row). ROW-SHAPED on purpose: a hot relation
-    * cluster (hot entity family × hot predicate — guaranteed under the
-    * synth's 30% skew at scale) must never accumulate one unbounded
-    * member ARRAY in the pipeline output (the 2GB-row hazard class);
-    * the reference's `.jl` line format needs the array only at the
-    * sink — see [[graft.sources.SideFormats.writeRelationsJl]]. */
+    * cluster's member count on every row. ROW-SHAPED on purpose: a hot
+    * relation cluster (hot entity family × hot predicate — guaranteed
+    * under the synth's 30% skew at scale) must never accumulate one
+    * unbounded member ARRAY in the pipeline output (the 2GB-row hazard
+    * class); the reference's `.jl` line format needs the array only at
+    * the sink — see [[graft.sources.SideFormats.writeRelationsJl]].
+    *
+    * `n_members` is TWO-PHASE: a `groupBy(rel_key).count()` (true
+    * partial aggregation — a hot rel_key is absorbed map-side into one
+    * partial per task) joined back on rel_key, NOT a window count
+    * (which would shuffle and sort every member row of the hot cluster
+    * into a single window task). The join-back's per-cluster side is
+    * one row per cluster — broadcastable by AQE when small, and an AQE
+    * skew-split-able sort-merge join otherwise (windows get no such
+    * skew handling). */
   def cluster(statements: Dataset[Statement],
       memberships: Dataset[Membership]): DataFrame = {
     val m = memberships.toDF()
@@ -46,10 +53,11 @@ object RelationClusters {
         array_join(array_sort(array(
           concat(lit("subj:"), col("subj_cluster")),
           concat(lit("obj:"), col("obj_cluster")))), ",")))
+    val counts = keyed.groupBy(col("rel_key"))
+      .agg(count(lit(1)).as("n_members"))
     keyed
+      .join(counts, "rel_key")
       .withColumn("relation_cluster_id", concat(lit("rc:"), md5(col("rel_key"))))
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy(col("rel_key"))))
       .select(col("relation_cluster_id"), col("rel_key"),
         col("stmt_id"), col("n_members"))
   }

@@ -82,9 +82,19 @@ object ConnectedComponents {
           .as("changed"))
         .localCheckpoint(true)
       changed = obs.get("changed").asInstanceOf[Long]
+      // `next` is materialized (the observe rode its checkpoint job):
+      // the round's intermediate `prop` blocks and the PREVIOUS round's
+      // labels are now dead — release them so a deep loop doesn't pin
+      // O(rounds) copies of the vertex set (Dataset GC frees them
+      // eventually, but at scale "eventually" is after the heap
+      // pressure already hurt)
+      graft.util.Blocks.release(prop)
+      graft.util.Blocks.release(labels)
       labels = next.select(col("sid"), col("component"))
       iter += 1
     }
+    // the symmetric edge list served its last round
+    graft.util.Blocks.release(sym)
     labels
   }
 }

@@ -208,12 +208,20 @@ object Linker {
         .select(least($"sid", $"rep").as("sid1"),
           greatest($"sid", $"rep").as("sid2"))
     }
-    scored.filter($"score" >= cfg.threshold)
+    val edges = scored.filter($"score" >= cfg.threshold)
       .select($"sid1", $"sid2")
       .unionByName(linkPairs)
       .unionByName(abbrevPairs(surf))
       .distinct()
       .select($"sid1".as("src"), $"sid2".as("dst"))
       .as[MatchEdge]
+      // materialize the (small, surface-scale) edge list so the token-
+      // vector checkpoint — reachable only through this plan — can be
+      // released HERE instead of pinning TF-IDF vectors for the rest of
+      // the session (every caller forces the edge list immediately:
+      // connected components' first round, or the snapshot write)
+      .localCheckpoint(true)
+    graft.util.Blocks.release(toks)
+    edges
   }
 }

@@ -85,16 +85,37 @@ object Similarity {
     * DataFrame (embedding + `centroid`) and the driver-held centroid
     * matrix (k×d doubles — tiny, broadcast-by-literal at query time). */
   def ivfIndex(embeddings: DataFrame, nCentroids: Int = 16,
-      seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+      seed: Long = 42L, fitSampleFraction: Double = 1.0): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(fitSampleFraction > 0.0 && fitSampleFraction <= 1.0,
+      s"fitSampleFraction must be in (0,1], got $fitSampleFraction")
     val feat = embeddings.withColumn("features",
       array_to_vector(col("embedding").cast("array<double>")))
+    // SAMPLE-FIT: at corpus scale the quantizer is fit on a seeded
+    // sample (Lloyd iterations over 10^11 vectors would dominate the
+    // whole index build); the FULL corpus is then only ASSIGNED — one
+    // pure-projection transform pass. Centroid quality converges at
+    // ~1000 points/centroid, so a tiny fraction suffices.
+    val fitOn =
+      if (fitSampleFraction >= 1.0) feat
+      else feat.sample(withReplacement = false, fitSampleFraction, seed)
     val model = new KMeans().setK(nCentroids).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("centroid")
-      .fit(feat)
+      .fit(fitOn)
     val assigned = model.transform(feat).drop("features")
     (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Queries with fewer than k candidates in `cand` — INCLUDING
+    * queries with ZERO candidates (every probed bucket / posting list
+    * empty), which a `cand`-derived group-by would silently drop: the
+    * under-returning fallback set must come from `queries`, the only
+    * frame guaranteed to hold one row per query. */
+  private def underfilled(queries: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+    val enough = cand.groupBy(col("query_id")).agg(count(lit(1)).as("nc"))
+      .filter(col("nc") >= k).select(col("query_id"))
+    queries.join(enough, Seq("query_id"), "left_anti").select(col("query_id"))
   }
 
   /** IVF ANN top-k: probe the `nprobe` centroids nearest to the query
@@ -160,9 +181,11 @@ object Similarity {
       .select(col("query_id"), col("q_emb"), col("centroid"))
     val cand = probes.join(assigned.select(col("vec_id"), col("embedding"),
       col("centroid")), "centroid")
-    // fallback: queries with under-filled posting lists go brute-force
-    val short = cand.groupBy(col("query_id")).agg(count(lit(1)).as("nc"))
-      .filter(col("nc") < k).select(col("query_id"))
+    // fallback: queries with under-filled (or EMPTY) posting lists go
+    // brute-force — anti-join against the well-filled set, so a query
+    // with zero candidates (absent from `cand` entirely) still falls
+    // back, matching the single-query ivfTopK contract
+    val short = underfilled(queries, cand, k)
     val fallback = queries
       .join(short, "query_id")
       .select(col("query_id"), col("embedding").as("q_emb"))
@@ -209,8 +232,9 @@ object Similarity {
           col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val cand = probes.join(b, "bucket")
       .select(col("query_id"), col("q_emb"), col("vec_id"), col("embedding"))
-    val short = cand.groupBy(col("query_id")).agg(count(lit(1)).as("nc"))
-      .filter(col("nc") < k).select(col("query_id"))
+    // zero-candidate queries (all probed buckets empty — the common
+    // LSH miss mode for outliers) MUST fall back too: see underfilled
+    val short = underfilled(queries, cand, k)
     val fallback = queries.join(short, "query_id")
       .select(col("query_id"), col("embedding").as("q_emb"))
       .crossJoin(b.select(col("vec_id"), col("embedding")))
@@ -225,20 +249,61 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rn"))
   }
 
-  /** All-pairs near-duplicate detection by embedding cosine ≥ τ,
-    * LSH-blocked (pairs only within a bucket) — the embedding-cosine
-    * near-dup dedup operator. */
-  def cosinePairs(embeddings: DataFrame, threshold: Double = 0.95, nBits: Int = 6): DataFrame = {
-    // one bucket-kernel eval per vector: both self-join sides scan the
-    // checkpointed compact projection, not the upstream bucket plan
-    val b = lshBuckets(embeddings, nBits).select(
-      col("vec_id"), col("embedding"), col("bucket"))
+  /** All-pairs near-duplicate detection by embedding cosine ≥ τ —
+    * the embedding-cosine near-dup dedup operator, LSH-blocked with
+    * BANDING + MULTI-PROBE (candidates = pairs whose bucket ids agree
+    * within Hamming distance ≤ `probeHamming` in ANY of `nBands`
+    * independently-seeded hyperplane families), then verified with
+    * exact cosine. The single-bucket formulation this replaces missed
+    * ~47% of true pairs at τ=0.95 ((1−θ/π)^6 ≈ 0.53 collision per
+    * pair); with the defaults here (8 bits × 6 bands × Hamming-1
+    * probing) a τ=0.95 pair is missed with probability
+    * (1 − p⁸ − 8p⁷(1−p))⁶ ≈ 4.9e-5 at p = 1−acos(.95)/π ≈ 0.899, and
+    * planted near-exact duplicates (sim ≥ 0.99) are effectively never
+    * missed (< 1e-9) — recall is driver-checked against the exact
+    * all-pairs oracle (q_cosine_pairs_lsh).
+    *
+    * Scale shape: the banded self-join runs over a SLIM exploded
+    * (vec_id, band, bucket) table of longs — embeddings are joined
+    * back only for the (candidate-sized) verification stage. At
+    * corpus scale raise `nBits` ≈ log2(n / targetBucketSize): per-band
+    * candidate cost is Σ_bucket |bucket|², so bucket population, not
+    * n, bounds the quadratic term. */
+  def cosinePairs(embeddings: DataFrame, threshold: Double = 0.95,
+      nBits: Int = 8, nBands: Int = 6, probeHamming: Int = 1,
+      seed: Int = 42): DataFrame = {
+    // one kernel eval per (vector, band): the compact projection with
+    // every band's bucket id is checkpointed once; both join sides and
+    // the verify stage scan the materialized longs, never the kernels
+    val b = embeddings.select(col("vec_id"), col("embedding"),
+        array((0 until nBands).map(bd =>
+          call_function("graft_lsh_bucket", col("embedding"), lit(nBits),
+            lit(seed + bd * 7919))): _*).as("buckets"))
       .localCheckpoint(true)
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.embedding"),
-          col("b.embedding")), 6).as("sim"))
+    val slim = b.select(col("vec_id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    // multi-probe one side only: pair (a,b) collides iff
+    // Hamming(bucket_a, bucket_b) ≤ h in some band — XOR-flipping side
+    // a's bucket by every ≤h mask covers exactly that set
+    def flips(base: Long, fromBit: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(base)
+      else (fromBit until nBits).flatMap(bit =>
+        flips(base ^ (1L << bit), bit + 1, left - 1))
+    val masks = (0 to probeHamming).flatMap(h => flips(0L, 0, h)).distinct
+    val probed = slim.select(col("vec_id"), col("band"),
+      explode(array(masks.map(m =>
+        col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val candPairs = probed.as("a").join(slim.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val emb = b.select(col("vec_id"), col("embedding"))
+    candPairs
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 

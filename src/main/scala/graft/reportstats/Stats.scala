@@ -55,6 +55,9 @@ object Stats {
     val distinctDocs = memberships.toDF()
       .join(mentions.toDF().select(col("mention_id").as("member_id"), col("conv_id")),
         "member_id")
+      // null conv_id must not count toward n_docs (countDistinct
+      // semantics of the pre-rank-gated formulation: nulls excluded)
+      .filter(col("conv_id").isNotNull)
       .select(col("cluster_id"), col("conv_id"))
       .distinct()
     val w = Window.partitionBy(col("cluster_id")).orderBy(col("conv_id").asc)

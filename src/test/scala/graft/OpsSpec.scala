@@ -222,6 +222,82 @@ class OpsSpec extends AnyFunSuite {
     assert(big.size == 10 && big.values.forall(_.length == 30))
   }
 
+  test("batch ANN: a query with ZERO probed candidates still falls back") {
+    import spark.implicits._
+    // corpus packed on one axis; the outlier query points the opposite
+    // way, so with many bits and no multi-probe its LSH bucket (and
+    // hence its candidate set) is EMPTY — the case a cand-derived
+    // fallback set silently drops (the query never appears in cand's
+    // groupBy, so it can't be selected as under-filled)
+    val e = (0 until 30).map(i => (i.toLong, Seq(1.0f, 0.001f * i, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val outlier = Seq(-1.0f, 0f, 0.3f, -0.7f, 0.9f, -0.2f)
+    val qDf = Seq((7L, outlier)).toDF("query_id", "embedding")
+    val lsh = Similarity.lshTopKBatch(e, qDf, k = 5, nBits = 16, probeHamming = 0)
+      .collect()
+    assert(lsh.length == 5, s"zero-candidate query dropped: got ${lsh.length} rows")
+    // parity with the single-query path in exactly this regime
+    val single = Similarity.lshTopK(e, outlier, 5, nBits = 16, probeHamming = 0)
+      .collect().map(_.getLong(0)).toSeq
+    assert(lsh.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq == single)
+    // IVF: probe a centroid whose posting list is empty
+    val centers = Array(Array(1.0, 0, 0, 0, 0, 0), Array(-1.0, 0, 0, 0, 0, 0))
+    val assigned = e.withColumn("centroid", lit(0L)) // every vector in list 0
+    val ivf = Similarity.ivfTopKBatch(assigned, centers, qDf, k = 5, nprobe = 1)
+      .collect()
+    assert(ivf.length == 5, s"empty-posting-list query dropped: got ${ivf.length} rows")
+  }
+
+  test("cosinePairs (banded multi-probe LSH) has exact recall on planted near-dups") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus + a perturbed near-duplicate of
+    // every vector (the q_cosine_pairs_lsh oracle's construction):
+    // unrelated pairs sit far below 0.95, planted pairs far above
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 150)
+      .map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val dup = base
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0) + ((col("vec_id") * 64 + i) % 7 - 3).cast("double") / lit(64.0)))
+          .as("embedding"))
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val all = base.unionByName(dup)
+    val blocked = Similarity.cosinePairs(all, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosinePairsExact(all, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 150, s"planting broke: ${exact.size} true pairs")
+    assert(blocked == exact,
+      s"recall misses: ${(exact -- blocked).take(5)}; spurious: ${(blocked -- exact).take(5)}")
+  }
+
+  test("IVF sample-fit quantizer: fit on a sample, assign the full corpus") {
+    import spark.implicits._
+    val rows = (0 until 60).map { i =>
+      val v = if (i % 2 == 0) Seq(1.0f, 0.002f * i, 0f, 0f)
+      else Seq(0f, 0f, 1.0f, 0.002f * i)
+      (i.toLong, v)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val (assigned, centers) = Similarity.ivfIndex(e, nCentroids = 2, fitSampleFraction = 0.5)
+    // every corpus vector is assigned even though only half were fit on
+    assert(assigned.count() == 60)
+    assert(centers.length == 2)
+    // the sampled quantizer still separates the two clusters: probing
+    // one centroid reproduces brute force for an in-cluster query
+    val q = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val brute = Similarity.bruteForceTopK(e, q, 5).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(assigned, centers, q, 5, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf == brute)
+    // probing everything is exact regardless of quantizer quality
+    val allProbes = Similarity.ivfTopK(assigned, centers, q, 5, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(allProbes == brute)
+  }
+
   // ---- real multimodal decoders ------------------------------------
 
   private def wavBytes(samples: Array[Short], sampleRate: Int = 8000,

@@ -124,6 +124,22 @@ class PlanSpec extends AnyFunSuite {
       "lsh bucket kernel re-evaluated inside the bucket self-join")
   }
 
+  test("relation-cluster member counts are two-phase aggregation, not a hot-key window") {
+    import spark.implicits._
+    val ms = Seq(graft.schema.Membership("c1", "m1", 1.0),
+      graft.schema.Membership("c2", "m2", 1.0)).toDS()
+    val st = Seq(graft.schema.Statement("s1", "m1", "P", "m2", 0.9, "d", 0, 0, 1)).toDS()
+    val rc = graft.canon.RelationClusters.cluster(st, ms)
+    val plan = rc.queryExecution.executedPlan.toString
+    // a window partitioned on rel_key would funnel every member row of a
+    // hot relation cluster into ONE task; the two-phase groupBy+join
+    // shape absorbs the hot key in map-side partial aggregation and
+    // leaves the join AQE-skew-splittable
+    assert(!plan.contains("Window"), s"window on skewable rel_key: $plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"n_members not a partial+final aggregate: $plan")
+  }
+
   test("superedge aggregation uses partial aggregation (map-side combine)") {
     import spark.implicits._
     val ms = Seq(graft.schema.Membership("c1", "m1", 1.0)).toDS()
