@@ -47,13 +47,14 @@ object Bench {
       timings(name) = (System.nanoTime() - t0) / 1e9
       r
     }
-    val pipelineRuns = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val pipelineRuns = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
     var weather = "ok"
     def emit(nTriples: Long, nTurns: Long, turnsPerSec: Double): Unit = {
       val (steal1, busy1) = cpuJiffies()
       val qs = timings.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
       val runsJson = pipelineRuns
-        .map { case (s, st) => f"""{"sec":$s%.1f,"steal_sec":$st%.1f}""" }
+        .map { case (s, st, cr) =>
+          f"""{"sec":$s%.1f,"steal_sec":$st%.1f,"canary_rows_per_sec":$cr%.0f}""" }
         .mkString("[", ",", "]")
       println(
         f"""{"metric":"total","value":${timings.values.sum}%.3f,"unit":"sec","queries":$qs,""" +
@@ -100,30 +101,57 @@ object Bench {
       lastResult = r
       (System.nanoTime() - t0) / 1e9
     }
-    // STEAL-AWARE headline: this sandbox's hypervisor steals CPU in
-    // multi-minute bursts (BASELINE.md "weather, quantified" measured
-    // the same binary swinging 3-6×), so a single stolen window makes
-    // the artifact lie about the engine. Protocol: min-of-2 always;
-    // if no run yet saw steal below ~10% of machine capacity, keep
-    // re-running (bounded) until one does or retries are exhausted —
-    // and say which happened in the JSON (`weather`), with per-run
-    // steal so a reader can judge each sample.
+    // WEATHER-AWARE headline. This sandbox has TWO weather modes that
+    // make wall clock lie about the engine (BASELINE.md, quantified):
+    //  (a) hypervisor steal bursts — visible in /proc/stat steal;
+    //  (b) an aggregate machine-throughput CAP — cores busy, steal ≈ 0,
+    //      zero added throughput (the same binary measured 16s and
+    //      176s minutes apart). Invisible to the steal gate, so every
+    //      run is preceded by a ~2s CANARY: the allocation-free codegen
+    //      kernel rate (same kernel as graft.CpuProbe), compared to the
+    //      committed quiet-window constant. A capped window suppresses
+    //      the canary the same way it suppresses the pipeline.
+    // Protocol: min-of-2 always; keep re-running (bounded) until one
+    // run is BOTH low-steal AND canary-clean, and say which happened in
+    // the JSON (`weather`), with per-run steal + canary so a reader can
+    // judge each sample.
     val machineCores = Runtime.getRuntime.availableProcessors()
     val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "4").toInt
     def quietFrac(sec: Double, stealSec: Double): Double =
       stealSec / math.max(sec * machineCores, 1e-9)
+    // committed quiet-window kernel rate: 2.16e9 rows/s at 32 cores
+    // (r3, 19 steal-sec window), 1.85e9 re-measured r4; per-core ≈
+    // 66M rows/s. 8-core quiet windows ran ~92M/core, so a 0.5× gate
+    // on the 32-core per-core rate is conservative at every N.
+    val quietCanaryPerCore = 66e6
+    def canary(): Double = {
+      import org.apache.spark.sql.functions.{bit_count, col, sum, xxhash64}
+      val n = 2_000_000_000L.max(62_500_000L * cpus) // ~1-2s quiet
+      val t0 = System.nanoTime()
+      // IDENTICAL kernel to graft.CpuProbe — the committed constant
+      // was measured with this exact expression
+      spark.range(0, n, 1, cpus * 2)
+        .select(sum(bit_count(xxhash64(col("id"), xxhash64(col("id"), col("id"))))))
+        .head()
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
     // 5%: measured windows show <2% steal on good runs, 9% on runs
     // still 4x off the engine number — 10% admitted weather as "quiet"
     var sawQuiet = false
+    var sawCapped = false
+    canary() // throwaway JIT warmup: a cold first canary reads ~4× low
     while (pipelineRuns.size < 2 || (!sawQuiet && pipelineRuns.size < maxRuns)) {
+      val cRate = canary()
       val (s0, _) = cpuJiffies()
       val sec = onePipeline()
       val (s1, _) = cpuJiffies()
       val stealSec = (s1 - s0) / 100.0
-      pipelineRuns += ((sec, stealSec))
-      if (quietFrac(sec, stealSec) < 0.05) sawQuiet = true
+      pipelineRuns += ((sec, stealSec, cRate))
+      val canaryOk = cRate >= 0.5 * quietCanaryPerCore * cpus
+      if (!canaryOk) sawCapped = true
+      if (quietFrac(sec, stealSec) < 0.05 && canaryOk) sawQuiet = true
     }
-    weather = if (sawQuiet) "ok" else "high_steal"
+    weather = if (sawQuiet) "ok" else if (sawCapped) "capped" else "high_steal"
     timings("kg_pipeline") = pipelineRuns.map(_._1).min
     val turnsPerSec = cfg.nTurns / timings("kg_pipeline")
 

@@ -21,7 +21,7 @@ import graft.synth.TranscriptSynth
  * Usage:
  *   spark-submit --class graft.Main <jar> \
  *     --input <transcripts parquet dir | synth:<nTurns>> \
- *     --output <snapshot root> [--threshold 0.65]
+ *     --output <snapshot root> [--threshold 0.65] [--dedup 0.9]
  *
  * Each stage is materialized as an immutable snapshot with per-
  * partition row counts in the manifest; a re-run resumes from the
@@ -50,13 +50,28 @@ object Main {
     * resuming stale snapshots. */
   def runResumable(spark: SparkSession, turns: Dataset[Turn],
       store: SnapshotStore, linkCfg: Linker.Config = Linker.Config(),
-      inputId: String = ""): Long = {
+      inputId: String = "", dedupJaccard: Option[Double] = None): Long = {
     import spark.implicits._
     val fp = s"input=$inputId|threshold=${linkCfg.threshold}" +
-      s"|maxBlock=${linkCfg.maxBlock}|minTokenLen=${linkCfg.minTokenLen}"
+      s"|maxBlock=${linkCfg.maxBlock}|minTokenLen=${linkCfg.minTokenLen}" +
+      s"|dedup=${dedupJaccard.getOrElse("off")}"
+
+    // optional conversation-level near-dup filter BEFORE extraction —
+    // the 100TB training-data flow: re-ingested/trivially-reworded
+    // transcripts are dropped while one canonical copy survives. Its
+    // verdict rows are a snapshot stage like any other (resume-safe;
+    // the fingerprint carries the threshold so toggling recomputes).
+    val turnsIn = dedupJaccard match {
+      case Some(thr) =>
+        val verdicts = store.getOrCreate(spark, "dedup_canon", fp) {
+          graft.ops.ConversationDedup.conversationClusters(turns, thr)
+        }
+        graft.ops.ConversationDedup.canonicalTurns(turns, verdicts)
+      case None => turns
+    }
 
     val ke = store.getOrCreate(spark, "ke", fp) {
-      turns.flatMap { t =>
+      turnsIn.flatMap { t =>
         val k = MentionExtractor.extractTurn(t)
         k.mentions.iterator.map(m => (1, m, null: Statement, null: EventArg, null: String)).toSeq ++
           k.statements.iterator.map(s => (2, null: Mention, s, null: EventArg, null: String)) ++
@@ -162,7 +177,11 @@ object Main {
     val store = new SnapshotStore(output)
     val cfg = Linker.Config(threshold =
       opts.getOrElse("threshold", "0.65").toDouble)
-    val n = runResumable(session, loadTurns(session, input), store, cfg, inputId = input)
+    // --dedup <jaccard>: drop near-duplicate conversations (one
+    // canonical survivor per family) before extraction
+    val dedup = opts.get("dedup").map(_.toDouble)
+    val n = runResumable(session, loadTurns(session, input), store, cfg,
+      inputId = input, dedupJaccard = dedup)
     println(s"""{"triples":$n,"output":"$output","stages":${store.manifestEntries().size}}""")
   }
 }

@@ -248,7 +248,7 @@ object SparkEntry {
       val r = Pipeline.run(TranscriptSynth.turnsDs(s, cfg, partitions = 8))
       EventCoref.namedFrames(r.eventClusters, r.eventArgs, r.memberships, r.prototypes)
         .select(col("etype"), col("subj"), col("obj"), col("place"),
-          col("participant"), col("n_members"))
+          col("participants"), col("n_members"))
     }),
     "q_kg_relation_clusters" -> ((s, _) => { // C6 wired into pipeline output
       val cfg = TranscriptSynth.Config(nConvs = 60, turnsPerConv = 8)

@@ -94,24 +94,36 @@ object EventCoref {
     * same contract as [[graft.superedge.SuperEdges.namedTriples]]. */
   def namedFrames(keyed: DataFrame, eventArgs: DataFrame,
       entityMemberships: Dataset[Membership],
-      entityPrototypes: Dataset[Prototype]): DataFrame = {
+      entityPrototypes: Dataset[Prototype],
+      maxParticipants: Int = 16): DataFrame = {
     val m = entityMemberships.toDF()
       .select(col("member_id").as("arg_id"), col("cluster_id").as("arg_cluster"))
     val pnames = entityPrototypes.toDF()
       .select(col("cluster_id").as("arg_cluster"), col("name").as("arg_name"))
+    // Participant is LIST-valued (reference: per-type argument lists,
+    // update_kg/Updater.py:329-345): collect a SORTED, RANK-GATED
+    // sample per event — the rank window is bounded per (event, role),
+    // and the `when` leaves rows past maxParticipants as nulls that
+    // collect_list skips, so a pathological mega-arity event can never
+    // materialize an unbounded row (the 2GB-row hazard class)
+    val w = Window.partitionBy(col("event_id"), col("role"))
+      .orderBy(col("arg_name").asc, col("arg_id").asc)
     val argNames = eventArgs
       .join(m, "arg_id")
       .join(pnames, "arg_cluster")
+      .withColumn("rn", row_number().over(w))
       .groupBy(col("event_id"))
       .agg(
         max(when(col("role") === "Subject", col("arg_name"))).as("subj"),
         max(when(col("role") === "Object", col("arg_name"))).as("obj"),
         max(when(col("role") === "Place", col("arg_name"))).as("place"),
-        max(when(col("role") === "Participant", col("arg_name"))).as("participant"))
+        nullif(array_join(array_sort(collect_list(
+          when(col("role") === "Participant" && col("rn") <= maxParticipants,
+            col("arg_name")))), ", "), lit("")).as("participants"))
     keyed.select(col("event_id"), col("cluster_id"), col("etype"))
       .join(argNames, "event_id")
       .groupBy(col("cluster_id"), col("etype"),
-        col("subj"), col("obj"), col("place"), col("participant"))
+        col("subj"), col("obj"), col("place"), col("participants"))
       .agg(count(lit(1)).as("n_members"))
   }
 }

@@ -189,16 +189,22 @@ object MentionExtractor {
           // optional participant clause — the arbitrary-arity role the
           // reference's event json head carries as per-type argument
           // LISTS (update_kg/Updater.py:329-345): ... [in S3] with
-          // S4(PER) → a Participant argument edge (arg-only, like the
-          // reference's entity lists; no reified statement, so the
-          // relation/triple surface is unchanged)
-          val pIdx = if (placeFound) k + 3 else k + 2
-          if (pIdx < spArr.length) {
+          // S4(PER) [and S5(PER)]* → one Participant argument edge per
+          // person (arg-only, like the reference's entity lists; no
+          // reified statement, so the relation/triple surface is
+          // unchanged). "with" opens the list, "and" continues it.
+          var pIdx = if (placeFound) k + 3 else k + 2
+          var connector = "with"
+          var more = true
+          while (more && pIdx < spArr.length) {
             val prev = spArr(pIdx - 1); val sp = spArr(pIdx)
             if (sp.startIdx - prev.endIdx == 2 &&
-              toks(prev.endIdx + 1).clean.toLowerCase == "with" &&
-              sp.etype == Lexicon.PER)
+              toks(prev.endIdx + 1).clean.toLowerCase == connector &&
+              sp.etype == Lexicon.PER) {
               eventArgs += EventArg(evId, "Participant", mentions(pIdx).mention_id)
+              connector = "and"
+              pIdx += 1
+            } else more = false
           }
         }
         k += 1

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.schema.Turn
+
+/**
+ * Conversation-level near-duplicate filtering — the standard
+ * training-data flow at corpus scale: drop duplicated conversations
+ * BEFORE the (much more expensive) extraction stage, so the KG never
+ * over-counts facts that exist only because a transcript was
+ * re-ingested or trivially re-worded. Composes the document dedup
+ * stack ([[Dedup.nearDupClusters]]: MinHash-LSH candidates →
+ * exact-Jaccard verify → connected components → min-id canonical)
+ * over one synthetic "document" per conversation.
+ *
+ * Scale shape: the per-conversation concat is a single groupBy whose
+ * row size is bounded by conversation length (a data-model constant,
+ * not corpus-scale — unlike per-cluster aggregates, which can be
+ * unbounded); everything after runs on conversation-count rows with
+ * LSH-bucketed candidate generation, no all-pairs anywhere. The final
+ * filter is a left-semi equi-join on conv_id.
+ */
+object ConversationDedup {
+
+  /** One document per conversation: turn texts concatenated in
+    * deterministic (turn_idx) order; `doc_id` = xxhash64(conv_id)
+    * (the dedup/CC stack keys on longs). */
+  def conversationDocs(turns: Dataset[Turn]): DataFrame =
+    turns.toDF()
+      .groupBy(col("conv_id"))
+      .agg(concat_ws(" ",
+        transform(
+          array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+          s => s.getField("text"))).as("text"))
+      .withColumn("doc_id", xxhash64(col("conv_id")))
+
+  /** Conversation-level dedup verdicts:
+    * (conv_id, doc_id, canon_id, is_dup) — one row per conversation;
+    * `is_dup` conversations have a surviving near-duplicate canonical.
+    * Guards against doc_id hash collisions (which would silently merge
+    * unrelated conversations) the same way the linker guards sids. */
+  def conversationClusters(turns: Dataset[Turn],
+      jaccardThreshold: Double = 0.9): DataFrame = {
+    // checkpoint: the concat feeds the signature kernel, the Jaccard
+    // verify, and the id join-back — three consumers
+    val docs = conversationDocs(turns).localCheckpoint(true)
+    val g = docs.agg(count(lit(1)), countDistinct(col("doc_id"))).head()
+    require(g.getLong(0) == g.getLong(1),
+      s"conv_id hash collision: ${g.getLong(0)} conversations, ${g.getLong(1)} distinct doc ids")
+    Dedup.nearDupClusters(docs.select(col("doc_id"), col("text")), jaccardThreshold)
+      .join(docs.select(col("doc_id"), col("conv_id")), "doc_id")
+      .select(col("conv_id"), col("doc_id"), col("canon_id"), col("is_dup"))
+  }
+
+  /** The turns of canonical conversations only (ready for extraction),
+    * given precomputed (or snapshot-read) verdict rows. */
+  def canonicalTurns(turns: Dataset[Turn], clusters: DataFrame): Dataset[Turn] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.toDF()
+      .join(clusters.filter(!col("is_dup")).select(col("conv_id")),
+        Seq("conv_id"), "left_semi")
+      .as[Turn]
+  }
+
+  /** One-call form: (surviving turns, verdict rows). */
+  def dedupConversations(turns: Dataset[Turn],
+      jaccardThreshold: Double = 0.9): (Dataset[Turn], DataFrame) = {
+    val clusters = conversationClusters(turns, jaccardThreshold)
+    (canonicalTurns(turns, clusters), clusters)
+  }
+}

@@ -71,17 +71,20 @@ object Stats {
           ", ").as("docs_sample"))
   }
 
-  /** A6/A7/W1: superedge report with names, ordered by count desc. */
+  /** A6/A7/W1: superedge report with names (+ node types for the dot
+    * render's coloring), ordered by count desc. */
   def superEdgeReport(superEdges: Dataset[SuperEdge],
       prototypes: Dataset[Prototype]): DataFrame = {
-    val names = prototypes.toDF().select(col("cluster_id"), col("name"))
+    val names = prototypes.toDF().select(col("cluster_id"), col("name"), col("etype"))
     superEdges.toDF()
       .join(names.withColumnRenamed("cluster_id", "subj_proto")
-        .withColumnRenamed("name", "subj_name"), "subj_proto")
+        .withColumnRenamed("name", "subj_name")
+        .withColumnRenamed("etype", "subj_etype"), "subj_proto")
       .join(names.withColumnRenamed("cluster_id", "obj_proto")
-        .withColumnRenamed("name", "obj_name"), "obj_proto")
+        .withColumnRenamed("name", "obj_name")
+        .withColumnRenamed("etype", "obj_etype"), "obj_proto")
       .select(col("subj_name"), col("pred"), col("obj_name"),
-        col("cnt"), col("conf"))
+        col("cnt"), col("conf"), col("subj_etype"), col("obj_etype"))
       .orderBy(col("cnt").desc, col("subj_name").asc, col("pred").asc,
         col("obj_name").asc)
   }
@@ -180,11 +183,25 @@ object Stats {
   def withRowCounter(df: DataFrame, name: String): DataFrame =
     df.observe(name, count(lit(1)).as("rows"))
 
+  /** Node fill colors by entity type — the reference's palette
+    * (dot_utils.py:1-15; unknown types get the same teal default). */
+  private val typeColor = Map(
+    "Facility" -> "#7f7f7f",
+    "GeopoliticalEntity" -> "#e377c2",
+    "Location" -> "#8c564b",
+    "Organization" -> "#9467bd",
+    "Person" -> "#1f77b4",
+    "FillerType" -> "#ff7f0e")
+  private val defaultColor = "#17becf"
+
   /** Graphviz dot source for the top-k superedge report — the
     * reference's cluster graph renders (RPI_cluster_seedling_dot.py,
-    * dot_utils.py:37-45). Driver-side formatting over a collected
-    * top-k, like the reference; label wrap at `wrap` chars
-    * (utils.py:60-71 analog). */
+    * RPI_cluster_event_include_dot.py:27-34, dot_utils.py:1-45):
+    * filled nodes colored by entity type with a type tooltip, labeled
+    * edges. Driver-side formatting over a collected top-k, like the
+    * reference; label wrap at `wrap` chars (utils.py:60-71 analog).
+    * Type columns (subj_etype/obj_etype) are optional — reports
+    * without them render uncolored boxes. */
   def dotGraph(report: DataFrame, topK: Int = 50, wrap: Int = 24): String = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     def wrapLabel(s: String): String =
@@ -193,8 +210,22 @@ object Stats {
         else if (acc.head.length + 1 + w.length <= wrap) (acc.head + " " + w) :: acc.tail
         else w :: acc
       }.reverse.mkString("\\n")
+    val hasTypes = report.columns.contains("subj_etype")
     val rows = report.limit(topK).collect()
-    val sb = new StringBuilder("digraph kg {\n  rankdir=LR;\n  node [shape=box];\n")
+    val sb = new StringBuilder(
+      "digraph kg {\n  rankdir=LR;\n  node [shape=box, style=\"filled\"];\n")
+    if (hasTypes) {
+      // one declaration per distinct node: fill color + tooltip by type
+      val nodes = rows.flatMap { r =>
+        Seq(r.getAs[String]("subj_name") -> r.getAs[String]("subj_etype"),
+          r.getAs[String]("obj_name") -> r.getAs[String]("obj_etype"))
+      }.distinct
+      nodes.foreach { case (name, etype) =>
+        val c = typeColor.getOrElse(etype, defaultColor)
+        sb.append(s"""  "${esc(wrapLabel(name))}" [tooltip="${esc(etype)}",""" +
+          s""" fillcolor="$c", color="$c"];\n""")
+      }
+    }
     rows.foreach { r =>
       val s = esc(wrapLabel(r.getAs[String]("subj_name")))
       val o = esc(wrapLabel(r.getAs[String]("obj_name")))

@@ -142,11 +142,14 @@ object TranscriptSynth {
   private val toolNames = Array("search", "calc", "db", "browser")
 
   /** One planted fact: subj family, verb, obj family, optional place
-    * family, optional person participant family (-1 = none) — the
+    * family, optional person participant families (-1 = none) — the
     * ≥3-role event families that exercise arbitrary-arity argument
-    * sets in event coreference. */
+    * sets in event coreference. `part2Fam` plants TWO-participant
+    * events ("with A and B"), pinning list-valued roles beyond the
+    * keying oracle (the reference's per-type argument lists,
+    * update_kg/Updater.py:329-345). */
   final case class Fact(subjFam: Int, verb: String, objFam: Int,
-      placeFam: Int, partFam: Int = -1)
+      placeFam: Int, partFam: Int = -1, part2Fam: Int = -1)
 
   private def famOfKind(cfg: Config, kind: Char, i: Long, salt: Long): Int = kind match {
     case 'P' =>
@@ -178,7 +181,16 @@ object TranscriptSynth {
           val p = if (p0 == subj || p0 == obj) famOfKind(cfg, 'P', i, 17L) else p0
           if (p == subj || p == obj) -1 else p
         } else -1
-      if (obj == subj) None else Some(Fact(subj, verb, obj, place, part))
+      // optional SECOND participant ("with A and B") — list-valued
+      // roles; distinct from every other family in the fact
+      val part2 =
+        if (part >= 0 && pick(cfg.seed, i, 19L, 10) < 3) {
+          val q0 = famOfKind(cfg, 'P', i, 20L)
+          val q = if (q0 == subj || q0 == obj || q0 == part)
+            famOfKind(cfg, 'P', i, 21L) else q0
+          if (q == subj || q == obj || q == part) -1 else q
+        } else -1
+      if (obj == subj) None else Some(Fact(subj, verb, obj, place, part, part2))
     }
   }
 
@@ -191,7 +203,7 @@ object TranscriptSynth {
     val ts = new Timestamp(epoch0 + conv * 86400000L + tIdx * 60000L)
     val convId = f"conv$conv%08d"
     factAt(cfg, i) match {
-      case Some(Fact(s, verb, o, p, pa)) =>
+      case Some(Fact(s, verb, o, p, pa, pa2)) =>
         val sSurf = surface(cfg, s, pick(cfg.seed, i, 8L, 10))
         val oSurf = surface(cfg, o, pick(cfg.seed, i, 9L, 10))
         val verbText =
@@ -200,7 +212,12 @@ object TranscriptSynth {
           else verb
         val placeText = if (p >= 0) " in " + canonical(cfg, p) else ""
         val partText =
-          if (pa >= 0) " with " + surface(cfg, pa, pick(cfg.seed, i, 18L, 10)) else ""
+          if (pa >= 0)
+            " with " + surface(cfg, pa, pick(cfg.seed, i, 18L, 10)) +
+              (if (pa2 >= 0)
+                 " and " + surface(cfg, pa2, pick(cfg.seed, i, 22L, 10))
+               else "")
+          else ""
         val prefix = prefixes(pick(cfg.seed, i, 11L, prefixes.length))
         val role = if (tIdx % 2 == 0) "user" else "assistant"
         Turn(convId, tIdx, role, s"$prefix$sSurf $verbText $oSurf$placeText$partText.", null, ts)
@@ -242,9 +259,11 @@ object TranscriptSynth {
     while (i < cfg.nTurns) {
       factAt(cfg, i).foreach { f =>
         val pred = Lexicon.triggers(f.verb)._1
+        val parts = Seq(f.partFam, f.part2Fam).filter(_ >= 0)
+          .map(canonical(cfg, _)).sorted
         val key = (pred, canonical(cfg, f.subjFam), canonical(cfg, f.objFam),
           if (f.placeFam >= 0) canonical(cfg, f.placeFam) else null,
-          if (f.partFam >= 0) canonical(cfg, f.partFam) else null)
+          if (parts.nonEmpty) parts.mkString(", ") else null)
         out(key) = out.getOrElse(key, 0L) + 1L
       }
       i += 1

@@ -39,6 +39,15 @@ class EventGoldenSpec extends AnyFunSuite {
 
     // every emitted event mention belongs to exactly one cluster
     assert(r.eventMemberships.count() == r.events.count())
+
+    // list-valued Participant roles are golden-pinned, not just keyed:
+    // the synth plants "with A and B" events, and their frames must
+    // surface BOTH names (sorted, comma-joined) and match the golden
+    val multi = golden.keySet.filter(k => k._5 != null && k._5.contains(", "))
+    assert(multi.nonEmpty, "synth planted no two-participant events")
+    val multiHit = multi.count(frames.contains).toDouble / multi.size
+    assert(multiHit >= 0.95,
+      f"two-participant frames recovered at $multiHit%.4f < 0.95")
   }
 
   test("event prototypes carry kind=event, the event type, and mode trigger name") {

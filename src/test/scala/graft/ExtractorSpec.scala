@@ -68,6 +68,23 @@ class ExtractorSpec extends AnyFunSuite {
     assert(nameOf(roles("Place")) == "Paris")
   }
 
+  test("participant lists: 'with A and B' yields one Participant arg per person") {
+    val ke = MentionExtractor.extractTurn(
+      turn("John Smith met Maria Garcia in Paris with Ivan Petrov and Wei Chen."))
+    assert(ke.events.length == 1)
+    def nameOf(id: String) = ke.mentions.find(_.mention_id == id).get.name
+    val parts = ke.eventArgs.filter(_.role == "Participant").map(a => nameOf(a.arg_id))
+    assert(parts.sorted == List("Ivan Petrov", "Wei Chen"))
+    // and without a place clause
+    val ke2 = MentionExtractor.extractTurn(
+      turn("John Smith met Maria Garcia with Ivan Petrov and Wei Chen."))
+    val parts2 = ke2.eventArgs.filter(_.role == "Participant").map(a => nameOf2(ke2, a.arg_id))
+    assert(parts2.sorted == List("Ivan Petrov", "Wei Chen"))
+  }
+
+  private def nameOf2(ke: graft.extract.MentionExtractor.TurnKEs, id: String): String =
+    ke.mentions.find(_.mention_id == id).get.name
+
   test("phrase trigger event keeps the surface text as name") {
     val ke = MentionExtractor.extractTurn(turn("Ivan Petrov works at Acme Corp."))
     assert(ke.events.map(e => (e.etype, e.name, e.norm_name)) ==

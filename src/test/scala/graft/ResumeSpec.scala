@@ -45,4 +45,39 @@ class ResumeSpec extends AnyFunSuite {
     // manifests carry per-partition lineage counters
     assert(store.manifestEntries().forall(_.contains("\"pid\":")))
   }
+
+  test("--dedup adds a resume-safe dedup_canon stage; duplicates don't change the KG") {
+    import spark.implicits._
+    val cfg = TranscriptSynth.Config(nConvs = 60, turnsPerConv = 6)
+    val base = TranscriptSynth.turnsDs(spark, cfg, partitions = 4)
+    // plant exact duplicate conversations under fresh ids — the
+    // re-ingestion scenario the dedup stage exists for
+    val dups = base.filter(t => t.conv_id.drop(4).toLong % 3 == 0)
+      .map(t => t.copy(conv_id = t.conv_id + "-reingest"))
+    val withDups = base.unionByName(dups)
+
+    val cleanRoot = Files.createTempDirectory("kgclean").toString
+    val cleanStore = new SnapshotStore(cleanRoot)
+    val nClean = Main.runResumable(spark, base, cleanStore)
+
+    val dedupRoot = Files.createTempDirectory("kgdedup").toString
+    val store = new SnapshotStore(dedupRoot)
+    val n1 = Main.runResumable(spark, withDups, store, dedupJaccard = Some(0.9))
+    assert(store.manifestEntries().size == 20) // 19 + dedup_canon
+    val verdicts = store.read(spark, "dedup_canon").get
+    // every planted duplicate family collapsed to ONE canonical conv
+    assert(verdicts.filter("is_dup").count() == dups.map(_.conv_id).distinct().count())
+    // the KG over the dedup'd corpus ≡ the KG over the clean corpus:
+    // triples are conversation-id-free, and each planted family's
+    // canonical member carries identical text
+    val tClean = cleanStore.read(spark, "triples").get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val tDedup = store.read(spark, "triples").get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(nClean > 0 && tDedup == tClean)
+
+    // resume: stage count stable, verdicts not recomputed, same triples
+    val n2 = Main.runResumable(spark, withDups, store, dedupJaccard = Some(0.9))
+    assert(n2 == n1 && store.manifestEntries().size == 20)
+  }
 }

@@ -39,6 +39,12 @@ class StatsSpec extends AnyFunSuite {
     val dot = Stats.dotGraph(Stats.superEdgeReport(r.superEdges, r.prototypes), topK = 10)
     assert(dot.startsWith("digraph kg {"))
     assert(dot.linesIterator.count(_.contains("->")) == 10)
+    // node declarations carry the reference's type coloring + tooltips
+    // (dot_utils.py node_color; RPI_cluster_event_include_dot.py:27-34)
+    assert(dot.contains("fillcolor=\"#1f77b4\"") || dot.contains("fillcolor=\"#9467bd\"")
+      || dot.contains("fillcolor=\"#e377c2\""), s"no typed node colors in:\n$dot")
+    assert(dot.contains("tooltip=\""), "no node tooltips in dot render")
+    assert(dot.contains("style=\"filled\""))
   }
 
   test("clusterSources sample stays bounded on a hot cluster, identical output") {
