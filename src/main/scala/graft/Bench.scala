@@ -74,12 +74,46 @@ object Bench {
     val cfg = TranscriptSynth.Config(
       nConvs = (pipeTurns / 10).toInt, turnsPerConv = 10)
 
+    val machineCores = Runtime.getRuntime.availableProcessors()
+    // committed quiet-window kernel rate: 2.16e9 rows/s at 32 cores
+    // (r3, 19 steal-sec window), 1.85e9 re-measured r4; per-core ≈
+    // 66M rows/s. 8-core quiet windows ran ~92M/core, so a 0.5× gate
+    // on the 32-core per-core rate is conservative at every N.
+    val quietCanaryPerCore = 66e6
+    def canary(): Double = {
+      import org.apache.spark.sql.functions.{bit_count, col, sum, xxhash64}
+      val n = 2_000_000_000L.max(62_500_000L * cpus) // ~1-2s quiet
+      val t0 = System.nanoTime()
+      // IDENTICAL kernel to graft.CpuProbe — the committed constant
+      // was measured with this exact expression
+      spark.range(0, n, 1, cpus * 2)
+        .select(sum(bit_count(xxhash64(col("id"), xxhash64(col("id"), col("id"))))))
+        .head()
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
+
     // SPARK_GRAFT_BENCH_MODE=extract → the data-dominant stage alone,
-    // min-of-2 (per-stage scaling evidence for the floor attribution)
+    // min-of-2 (per-stage scaling evidence for the floor attribution);
+    // per-run steal + canary ride the pipeline_runs field so every
+    // scaling-ladder row is weather-annotated
     if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("extract")) {
-      timed("extract_1") { MentionExtractor_forceCount(spark, cfg) }
-      timed("extract_2") { MentionExtractor_forceCount(spark, cfg) }
+      canary() // JIT warmup
+      def oneExtract(name: String): Unit = {
+        val cRate = canary()
+        val (s0, _) = cpuJiffies()
+        timed(name) { MentionExtractor_forceCount(spark, cfg) }
+        val (s1, _) = cpuJiffies()
+        pipelineRuns += ((timings(name), (s1 - s0) / 100.0, cRate))
+      }
+      oneExtract("extract_1")
+      oneExtract("extract_2")
       timings("extract_only") = math.min(timings("extract_1"), timings("extract_2"))
+      weather =
+        if (pipelineRuns.exists { case (s, st, cr) =>
+          st / math.max(s * machineCores, 1e-9) < 0.05 &&
+            cr >= 0.5 * quietCanaryPerCore * cpus }) "ok"
+        else if (pipelineRuns.exists(_._3 < 0.5 * quietCanaryPerCore * cpus)) "capped"
+        else "high_steal"
       emit(0L, cfg.nTurns, cfg.nTurns / timings("extract_only"))
       spark.stop()
       return
@@ -115,26 +149,9 @@ object Bench {
     // run is BOTH low-steal AND canary-clean, and say which happened in
     // the JSON (`weather`), with per-run steal + canary so a reader can
     // judge each sample.
-    val machineCores = Runtime.getRuntime.availableProcessors()
     val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "4").toInt
     def quietFrac(sec: Double, stealSec: Double): Double =
       stealSec / math.max(sec * machineCores, 1e-9)
-    // committed quiet-window kernel rate: 2.16e9 rows/s at 32 cores
-    // (r3, 19 steal-sec window), 1.85e9 re-measured r4; per-core ≈
-    // 66M rows/s. 8-core quiet windows ran ~92M/core, so a 0.5× gate
-    // on the 32-core per-core rate is conservative at every N.
-    val quietCanaryPerCore = 66e6
-    def canary(): Double = {
-      import org.apache.spark.sql.functions.{bit_count, col, sum, xxhash64}
-      val n = 2_000_000_000L.max(62_500_000L * cpus) // ~1-2s quiet
-      val t0 = System.nanoTime()
-      // IDENTICAL kernel to graft.CpuProbe — the committed constant
-      // was measured with this exact expression
-      spark.range(0, n, 1, cpus * 2)
-        .select(sum(bit_count(xxhash64(col("id"), xxhash64(col("id"), col("id"))))))
-        .head()
-      n / ((System.nanoTime() - t0) / 1e9)
-    }
     // 5%: measured windows show <2% steal on good runs, 9% on runs
     // still 4x off the engine number — 10% admitted weather as "quiet"
     var sawQuiet = false

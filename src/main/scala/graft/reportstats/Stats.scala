@@ -44,14 +44,21 @@ object Stats {
 
   /** A8 + A9: distinct source conversations per cluster, with a
     * deterministic comma-joined sample of the first `sampleK` (sorted).
-    * BOUNDED aggregation: the sample is rank-gated BEFORE collection
-    * (collect_list skips the nulls the `when` leaves outside the rank
-    * window), so a hot cluster spanning 10^8 conversations aggregates
-    * ≤ sampleK strings per group instead of materializing every
-    * distinct conv_id in one row — the 2GB-row hazard the previous
-    * slice(array_sort(collect_set(...))) formulation had. */
+    * BOUNDED row size AND bounded per-task work — two hazards, two
+    * defenses:
+    *  - the sample is rank-gated BEFORE collection, so a hot cluster
+    *    spanning 10^8 conversations aggregates ≤ sampleK strings per
+    *    group, never the full distinct set in one row (2GB-row hazard);
+    *  - the rank window is SALTED: partitioning a window on cluster_id
+    *    alone would funnel every distinct conv of the hot cluster into
+    *    ONE task to sort (the hot-key window hazard) — instead each
+    *    (cluster, salt) shard ranks its own ≤ n/salts convs and keeps
+    *    its own top sampleK, and the final per-cluster merge sorts only
+    *    ≤ salts × sampleK survivors. Per-salt counts sum exactly (the
+    *    upstream distinct makes shards disjoint), so `n_docs` is exact.
+    */
   def clusterSources(memberships: Dataset[Membership],
-      mentions: Dataset[Mention], sampleK: Int = 20): DataFrame = {
+      mentions: Dataset[Mention], sampleK: Int = 20, salts: Int = 16): DataFrame = {
     val distinctDocs = memberships.toDF()
       .join(mentions.toDF().select(col("mention_id").as("member_id"), col("conv_id")),
         "member_id")
@@ -60,14 +67,20 @@ object Stats {
       .filter(col("conv_id").isNotNull)
       .select(col("cluster_id"), col("conv_id"))
       .distinct()
-    val w = Window.partitionBy(col("cluster_id")).orderBy(col("conv_id").asc)
+      .withColumn("_salt", pmod(xxhash64(col("conv_id")), lit(salts.toLong)))
+    val w = Window.partitionBy(col("cluster_id"), col("_salt"))
+      .orderBy(col("conv_id").asc)
     distinctDocs
       .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster_id"), col("_salt"))
+      .agg(
+        count(lit(1)).as("n"),
+        collect_list(when(col("rn") <= sampleK, col("conv_id"))).as("sample"))
       .groupBy(col("cluster_id"))
       .agg(
-        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_docs"),
         array_join(
-          array_sort(collect_list(when(col("rn") <= sampleK, col("conv_id")))),
+          slice(array_sort(flatten(collect_list(col("sample")))), 1, sampleK),
           ", ").as("docs_sample"))
   }
 
