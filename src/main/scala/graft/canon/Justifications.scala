@@ -32,11 +32,19 @@ object Justifications {
     * unique member_id (1:1, skew-free). Callers producing several
     * outputs persist THIS once instead of re-joining per output
     * (membership carries its own constant `conf`, so only the keys are
-    * kept and the mention-level conf is unambiguous). */
+    * kept and the mention-level conf is unambiguous).
+    *
+    * PRUNED to the union of what the three consumers read (cluster_id,
+    * member_id, conv_id, turn_idx, span, conf, link_target): the
+    * mention name/norm_name strings — the widest columns on the row —
+    * never enter the persisted cache or its consumers' shuffles. */
   def annotatedMembers(memberships: Dataset[Membership],
       mentions: Dataset[Mention]): DataFrame =
     memberships.toDF().select(col("cluster_id"), col("member_id"))
-      .join(mentions.toDF().withColumnRenamed("mention_id", "member_id"), "member_id")
+      .join(mentions.toDF().withColumnRenamed("mention_id", "member_id")
+        .select(col("member_id"), col("conv_id"), col("turn_idx"),
+          col("start_off"), col("end_off"), col("conf"), col("link_target")),
+        "member_id")
 
   /** A3, confidence semantics: one row per (cluster, conv) — the
     * member justification with max conf; ties broken by mention_id

@@ -11,14 +11,16 @@ import org.apache.spark.sql.functions._
  * /root/reference/update_kg/sparqls.py:115-164, turtle templates
  * update_kg/Updater.py:385-485).
  *
- * Two modalities decode for REAL in pure JVM — WAV/PCM audio and BMP
- * images (both are header+raw-samples formats needing no codec
- * library); payloads are dispatched on their magic bytes. Codec-bound
- * formats (JPEG/MP3/H.264) fall back to a clearly-marked deterministic
- * STUB (this container ships no codecs); the Spark-side contract —
- * schema, batch shape, partition-parallel mapPartitions, failure
- * capture — is identical for both paths, so swapping the stub for a
- * JNI/codec call changes only `decodeKernel`.
+ * Three modalities decode for REAL in pure JVM — WAV/PCM audio, BMP
+ * images (header+raw samples), and PNG images (zlib-compressed IDAT:
+ * the JDK ships `java.util.zip.Inflater`, so PNG needs no external
+ * codec — full chunk walk, inflate, and scanline de-filtering
+ * including Paeth); payloads are dispatched on their magic bytes.
+ * Codec-bound formats (JPEG/MP3/H.264) fall back to a clearly-marked
+ * deterministic STUB (this container ships no codecs); the Spark-side
+ * contract — schema, batch shape, partition-parallel mapPartitions,
+ * failure capture — is identical for both paths, so swapping the stub
+ * for a JNI/codec call changes only `decodeKernel`.
  */
 object Multimodal {
 
@@ -44,13 +46,13 @@ object Multimodal {
 
   val EmbeddingDim = 16
 
-  /** Decode/feature kernel. REAL decoders for WAV/PCM (RIFF magic)
-    * and BMP ("BM" magic) — sample-derived acoustic / pixel-derived
-    * visual features; anything else falls to the deterministic STUB
-    * (codec-bound formats — JPEG/MP3/H.264 — need libraries this
-    * container doesn't ship; marked intentionally). Malformed
-    * payloads of a recognized format THROW, and [[extractFeatures]]
-    * captures the failure per row. */
+  /** Decode/feature kernel. REAL decoders for WAV/PCM (RIFF magic),
+    * BMP ("BM" magic), and PNG (\x89PNG magic) — sample-derived
+    * acoustic / pixel-derived visual features; anything else falls to
+    * the deterministic STUB (codec-bound formats — JPEG/MP3/H.264 —
+    * need libraries this container doesn't ship; marked
+    * intentionally). Malformed payloads of a recognized format THROW,
+    * and [[extractFeatures]] captures the failure per row. */
   private[ops] def decodeKernel(payload: Array[Byte]): Array[Float] =
     if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
         payload(2) == 'F' && payload(3) == 'F' &&
@@ -58,6 +60,11 @@ object Multimodal {
         payload(11) == 'E') decodeWav(payload)
     else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
       decodeBmp(payload)
+    else if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
+        payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G' &&
+        (payload(4) & 0xff) == 0x0d && (payload(5) & 0xff) == 0x0a &&
+        (payload(6) & 0xff) == 0x1a && (payload(7) & 0xff) == 0x0a)
+      decodePng(payload)
     else stubKernel(payload)
 
   private def i32(b: Array[Byte], o: Int): Int =
@@ -127,37 +134,26 @@ object Multimodal {
     out
   }
 
-  /** Real BMP decode: 24bpp uncompressed (BI_RGB), bottom-up or
-    * top-down; features = [width/1k, height/1k, meanR, meanG, meanB,
-    * mean luma, luma stddev, mean |horizontal luma diff|] ++ mean luma
-    * over a 2×4 (rows×cols) grid — all derived from actual pixels. */
-  private[ops] def decodeBmp(b: Array[Byte]): Array[Float] = {
-    require(b.length >= 54, "truncated BMP header")
-    val dataOff = i32(b, 10)
-    val width = i32(b, 18)
-    val heightRaw = i32(b, 22)
-    val bpp = i16(b, 28)
-    val compression = i32(b, 30)
-    require(bpp == 24, s"unsupported bpp $bpp (24-bit only)")
-    require(compression == 0, s"unsupported compression $compression")
-    require(width > 0 && heightRaw != 0, "bad BMP dimensions")
-    val height = math.abs(heightRaw)
-    val topDown = heightRaw < 0
-    val rowBytes = ((width * 3 + 3) / 4) * 4
-    require(dataOff + rowBytes.toLong * height <= b.length, "truncated BMP pixels")
+  /** Shared pixel-statistics features over a top-down (x, y) → packed
+    * 0xRRGGBB accessor — FORMAT-INDEPENDENT: identical pixels through
+    * BMP and PNG produce bit-identical feature vectors (test-pinned).
+    * Features = [width/1k, height/1k, meanR, meanG, meanB, mean luma,
+    * luma stddev, mean |horizontal luma diff|] ++ mean luma over a 2×4
+    * (rows×cols) grid. */
+  private def pixelFeatures(width: Int, height: Int,
+      rgb: (Int, Int) => Int): Array[Float] = {
     var sr = 0.0; var sg = 0.0; var sb = 0.0
     var sl = 0.0; var sl2 = 0.0; var hdiff = 0.0; var hdiffN = 0L
     val grid = new Array[Double](8); val gridN = new Array[Long](8)
     var y = 0
     while (y < height) {
-      val srcRow = if (topDown) y else height - 1 - y
       var x = 0
       var prevL = 0.0
-      val ro = dataOff + srcRow * rowBytes
       while (x < width) {
-        val bb = b(ro + x * 3) & 0xff
-        val gg = b(ro + x * 3 + 1) & 0xff
-        val rr = b(ro + x * 3 + 2) & 0xff
+        val p = rgb(x, y)
+        val rr = (p >> 16) & 0xff
+        val gg = (p >> 8) & 0xff
+        val bb = p & 0xff
         val l = (0.299 * rr + 0.587 * gg + 0.114 * bb) / 255.0
         sr += rr; sg += gg; sb += bb; sl += l; sl2 += l * l
         if (x > 0) { hdiff += math.abs(l - prevL); hdiffN += 1 }
@@ -184,6 +180,122 @@ object Multimodal {
       k += 1
     }
     out
+  }
+
+  /** Real BMP decode: 24bpp uncompressed (BI_RGB), bottom-up or
+    * top-down; pixel features via [[pixelFeatures]]. */
+  private[ops] def decodeBmp(b: Array[Byte]): Array[Float] = {
+    require(b.length >= 54, "truncated BMP header")
+    val dataOff = i32(b, 10)
+    val width = i32(b, 18)
+    val heightRaw = i32(b, 22)
+    val bpp = i16(b, 28)
+    val compression = i32(b, 30)
+    require(bpp == 24, s"unsupported bpp $bpp (24-bit only)")
+    require(compression == 0, s"unsupported compression $compression")
+    require(width > 0 && heightRaw != 0, "bad BMP dimensions")
+    val height = math.abs(heightRaw)
+    val topDown = heightRaw < 0
+    val rowBytes = ((width * 3 + 3) / 4) * 4
+    require(dataOff + rowBytes.toLong * height <= b.length, "truncated BMP pixels")
+    pixelFeatures(width, height, (x, y) => {
+      val srcRow = if (topDown) y else height - 1 - y
+      val o = dataOff + srcRow * rowBytes + x * 3 // stored B,G,R
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+    })
+  }
+
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  /** Real PNG decode — pure JVM, no codec library: PNG's only
+    * compression is zlib DEFLATE, which the JDK ships
+    * (`java.util.zip.Inflater`). Full implementation: chunk walk
+    * (IHDR/IDAT+/IEND), inflate of the concatenated IDAT stream, and
+    * per-scanline de-filtering (None/Sub/Up/Average/Paeth — the five
+    * filters of the PNG spec §9). Supports the dominant web shapes:
+    * 8-bit truecolor (type 2) and truecolor+alpha (type 6),
+    * non-interlaced; alpha is ignored for features (the reference's
+    * grounding features are RGB-derived). Truncation/corruption
+    * THROWS; [[extractFeatures]] captures per row. */
+  private[ops] def decodePng(b: Array[Byte]): Array[Float] = {
+    var o = 8
+    var width = 0; var height = 0; var colorType = -1
+    var seenIhdr = false; var done = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!done && o + 8 <= b.length) {
+      val len = be32(b, o)
+      require(len >= 0 && o + 12 + len <= b.length, "truncated PNG chunk")
+      new String(b, o + 4, 4, "US-ASCII") match {
+        case "IHDR" =>
+          require(len == 13, "bad IHDR length")
+          width = be32(b, o + 8); height = be32(b, o + 12)
+          val bitDepth = b(o + 16) & 0xff; colorType = b(o + 17) & 0xff
+          require(width > 0 && height > 0, "bad PNG dimensions")
+          require(bitDepth == 8, s"unsupported bit depth $bitDepth (8 only)")
+          require(colorType == 2 || colorType == 6,
+            s"unsupported color type $colorType (truecolor/truecolor+alpha only)")
+          require((b(o + 18) & 0xff) == 0 && (b(o + 19) & 0xff) == 0 &&
+            (b(o + 20) & 0xff) == 0, "unsupported compression/filter/interlace")
+          seenIhdr = true
+        case "IDAT" => idat.write(b, o + 8, len)
+        case "IEND" => done = true
+        case _      => () // ancillary chunks (tEXt, gAMA, ...) skipped
+      }
+      o += 12 + len
+    }
+    require(seenIhdr, "no IHDR chunk")
+    require(idat.size() > 0, "no IDAT chunk")
+    val bpp = if (colorType == 6) 4 else 3
+    val stride = width * bpp
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) // stream ended early
+          throw new IllegalArgumentException("truncated IDAT stream")
+        got += n
+      }
+    } finally inf.end()
+    require(got == raw.length, s"IDAT decoded $got of ${raw.length} bytes")
+    // de-filter scanlines into a packed top-down pixel buffer
+    val px = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val f = raw(y * (stride + 1)) & 0xff
+      val rs = y * (stride + 1) + 1
+      val ps = y * stride
+      var x = 0
+      while (x < stride) {
+        val rv = raw(rs + x) & 0xff
+        val left = if (x >= bpp) px(ps + x - bpp) & 0xff else 0
+        val up = if (y > 0) px(ps - stride + x) & 0xff else 0
+        val upLeft = if (x >= bpp && y > 0) px(ps - stride + x - bpp) & 0xff else 0
+        val v = f match {
+          case 0 => rv
+          case 1 => rv + left
+          case 2 => rv + up
+          case 3 => rv + ((left + up) / 2)
+          case 4 => // Paeth predictor (PNG spec §9.4)
+            val p = left + up - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - upLeft)
+            rv + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+          case other => throw new IllegalArgumentException(s"bad PNG filter $other")
+        }
+        px(ps + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    pixelFeatures(width, height, (x, yy) => {
+      val p = yy * stride + x * bpp // stored R,G,B[,A]
+      ((px(p) & 0xff) << 16) | ((px(p + 1) & 0xff) << 8) | (px(p + 2) & 0xff)
+    })
   }
 
   /** STUB for codec-bound formats — deterministic bytes→features fake

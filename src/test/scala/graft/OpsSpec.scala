@@ -379,6 +379,94 @@ class OpsSpec extends AnyFunSuite {
     assert(out("w2").error != null)
   }
 
+  /** Minimal PNG encoder for tests: 8-bit RGB(A), one chosen filter
+    * type per row (the decoder must invert it), real zlib + CRCs. */
+  private def pngBytes(width: Int, height: Int, rgb: (Int, Int) => (Int, Int, Int),
+      filter: Int => Int = _ => 0, alpha: Boolean = false): Array[Byte] = {
+    val bpp = if (alpha) 4 else 3
+    val stride = width * bpp
+    val px = Array.tabulate(height, stride) { (y, i) =>
+      val x = i / bpp
+      val (r, g, b) = rgb(x, y)
+      (i % bpp) match {
+        case 0 => r.toByte; case 1 => g.toByte; case 2 => b.toByte; case _ => 255.toByte
+      }
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    for (y <- 0 until height) {
+      val f = filter(y)
+      raw.write(f)
+      for (i <- 0 until stride) {
+        val v = px(y)(i) & 0xff
+        val left = if (i >= bpp) px(y)(i - bpp) & 0xff else 0
+        val up = if (y > 0) px(y - 1)(i) & 0xff else 0
+        val ul = if (i >= bpp && y > 0) px(y - 1)(i - bpp) & 0xff else 0
+        val enc = f match {
+          case 0 => v
+          case 1 => v - left
+          case 2 => v - up
+          case 3 => v - ((left + up) / 2)
+          case 4 => v - paeth(left, up, ul)
+        }
+        raw.write(enc & 0xff)
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      bb.putInt(body.length).put(typ.getBytes("US-ASCII")).put(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(body)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height).put(8.toByte)
+      .put((if (alpha) 6 else 2).toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", comp.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("PNG decode: real inflate+de-filter; features format-identical to BMP") {
+    import spark.implicits._
+    // a gradient image exercises all predictors non-trivially
+    val img = (x: Int, y: Int) => ((x * 37 + y * 11) % 256, (x * 5) % 256, (y * 71) % 256)
+    val viaBmp = bmpBytes(12, 6, img)
+    val viaPng = pngBytes(12, 6, img)
+    // one row per PNG filter type — the decoder must invert all five
+    val viaPngFiltered = pngBytes(12, 6, img, filter = y => y % 5)
+    val viaPngAlpha = pngBytes(12, 6, img, filter = y => (y + 3) % 5, alpha = true)
+    val media = Seq(
+      Multimodal.MediaRow("bmp", "image", viaBmp, 12, 6, 0L, "d"),
+      Multimodal.MediaRow("png0", "image", viaPng, 12, 6, 0L, "d"),
+      Multimodal.MediaRow("pngf", "image", viaPngFiltered, 12, 6, 0L, "d"),
+      Multimodal.MediaRow("pnga", "image", viaPngAlpha, 12, 6, 0L, "d"),
+      Multimodal.MediaRow("trunc", "image",
+        pngBytes(12, 6, img).dropRight(30), 12, 6, 0L, "d")).toDS()
+    val out = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(out("png0").ok, String.valueOf(out("png0").error))
+    // SAME pixels through three encodings → bit-identical features
+    assert(out("png0").embedding.toSeq == out("bmp").embedding.toSeq)
+    assert(out("pngf").embedding.toSeq == out("bmp").embedding.toSeq,
+      "per-row Sub/Up/Average/Paeth de-filtering diverged")
+    assert(out("pnga").embedding.toSeq == out("bmp").embedding.toSeq,
+      "RGBA path diverged (alpha must be ignored)")
+    // corrupted stream: captured per row, job survives
+    assert(!out("trunc").ok && out("trunc").error != null)
+  }
+
   test("langid picks the stopword-dominant language") {
     val d = spark.createDataFrame(Seq(
       (1L, "the cat and the dog went to the market of the town"),
