@@ -119,11 +119,25 @@ object Pipeline {
       else Iterator.empty
       (ms ++ ss ++ evs ++ eas ++ es).toSeq
     }.toDF("tag", "m", "s", "a", "error").localCheckpoint(true)
-    val mentions = ke.filter(col("tag") === 1).select(col("m.*")).as[Mention]
-    val statements = ke.filter(col("tag") === 2).select(col("s.*")).as[Statement]
+    // CARVE the tagged union into four NARROW checkpoints immediately:
+    // checkpoint scans can't prune columns (ExistingRDD materializes
+    // full rows), so every downstream join/agg over e.g. `statements`
+    // would otherwise re-decode the full 5-column nested-struct row for
+    // every KE of every kind — profiled at ~200 executor-s per
+    // statements scan at 2M turns. Four cheap filter+project passes
+    // here buy narrow rows for every later consumer; the wide union is
+    // then dead and its blocks are dropped.
+    val mentions = ke.filter(col("tag") === 1).select(col("m.*"))
+      .localCheckpoint(true).as[Mention]
+    val statements = ke.filter(col("tag") === 2).select(col("s.*"))
+      .localCheckpoint(true).as[Statement]
     val errors = ke.filter(col("tag") === 3).select(col("error"))
-    val events = ke.filter(col("tag") === 4).select(col("m.*")).as[Mention]
+      .localCheckpoint(true)
+    val events = ke.filter(col("tag") === 4).select(col("m.*"))
+      .localCheckpoint(true).as[Mention]
     val eventArgs = ke.filter(col("tag") === 5).select(col("a.*"))
+      .localCheckpoint(true)
+    graft.util.Blocks.release(ke)
 
     val (surf, edges) = Linker.matchEdges(mentions, linkCfg) // surf checkpointed inside
     val comp = ConnectedComponents.run(edges.toDF())

@@ -35,12 +35,16 @@ object Canonicalizer {
   /** Surface → cluster assignment with singleton synthesis.
     * Output: surf columns + cluster_id, prototype_id. */
   def surfaceClusters(surf: DataFrame, comp: DataFrame): DataFrame = {
+    // merge hints: every side here scales with the surface dictionary
+    // (10^8 rows at contract scale) — none may broadcast, and
+    // checkpoint-derived size estimates undercount (see
+    // graft.superedge.SuperEdges)
     val withComp = surf
-      .join(comp, Seq("sid"), "left_outer")
+      .join(comp.hint("merge"), Seq("sid"), "left_outer")
       .withColumn("component", coalesce(col("component"), col("sid")))
     // deterministic representative: minimal surface key in the component
     val reps = withComp.groupBy(col("component")).agg(min(col("skey")).as("repkey"))
-    withComp.join(reps, "component")
+    withComp.join(reps.hint("merge"), "component")
       .withColumn("cluster_id", concat(lit("c:"), md5(col("repkey"))))
       .withColumn("prototype_id", concat(lit("p:"), md5(col("repkey"))))
       .drop("repkey")

@@ -36,8 +36,11 @@ object EventCoref {
       entityMemberships: Dataset[Membership]): DataFrame = {
     val m = entityMemberships.toDF()
       .select(col("member_id").as("arg_id"), col("cluster_id").as("arg_cluster"))
+    // merge hint: arg-scale ⋈ membership-scale, both corpus-scale —
+    // never broadcastable (checkpoint stats undercount; see
+    // graft.superedge.SuperEdges)
     val argKeys = eventArgs
-      .join(m, "arg_id")
+      .join(m.hint("merge"), "arg_id")
       .select(col("event_id"),
         concat_ws(":", col("role"), col("arg_cluster")).as("rc"))
       .groupBy(col("event_id"))
@@ -45,7 +48,7 @@ object EventCoref {
     events.toDF()
       .select(col("mention_id").as("event_id"), col("etype"), col("name"),
         col("conv_id"), col("turn_idx"))
-      .join(argKeys, Seq("event_id"), "left_outer")
+      .join(argKeys.hint("merge"), Seq("event_id"), "left_outer")
       .withColumn("ekey",
         concat_ws("|", col("etype"),
           coalesce(col("argkey"), concat(lit("orphan:"), col("event_id")))))
@@ -109,7 +112,7 @@ object EventCoref {
     val w = Window.partitionBy(col("event_id"), col("role"))
       .orderBy(col("arg_name").asc, col("arg_id").asc)
     val argNames = eventArgs
-      .join(m, "arg_id")
+      .join(m.hint("merge"), "arg_id")
       .join(pnames, "arg_cluster")
       .withColumn("rn", row_number().over(w))
       .groupBy(col("event_id"))

@@ -41,9 +41,12 @@ object Justifications {
   def annotatedMembers(memberships: Dataset[Membership],
       mentions: Dataset[Mention]): DataFrame =
     memberships.toDF().select(col("cluster_id"), col("member_id"))
+      // merge hint: both sides corpus-scale, never broadcastable
+      // (checkpoint stats undercount — see graft.superedge.SuperEdges)
       .join(mentions.toDF().withColumnRenamed("mention_id", "member_id")
         .select(col("member_id"), col("conv_id"), col("turn_idx"),
-          col("start_off"), col("end_off"), col("conf"), col("link_target")),
+          col("start_off"), col("end_off"), col("conf"), col("link_target"))
+        .hint("merge"),
         "member_id")
 
   /** A3, confidence semantics: one row per (cluster, conv) — the
@@ -128,7 +131,8 @@ object Justifications {
     memberships.toDF().select(col("cluster_id"), col("member_id"))
       .join(mentions.toDF().withColumnRenamed("mention_id", "member_id")
         .select(col("member_id"), col("etype"), col("conv_id"),
-          col("turn_idx"), col("start_off"), col("end_off")), "member_id")
+          col("turn_idx"), col("start_off"), col("end_off"))
+        .hint("merge"), "member_id")
       .join(prototypes.toDF().select(col("cluster_id"), col("prototype_id")),
         "cluster_id")
       .select(col("prototype_id"), col("cluster_id"), col("etype"),
@@ -146,9 +150,9 @@ object Justifications {
     val m = memberships.toDF()
     statements.toDF()
       .join(m.select(col("member_id").as("subj"),
-        col("cluster_id").as("subj_proto")), "subj")
+        col("cluster_id").as("subj_proto")).hint("merge"), "subj")
       .join(m.select(col("member_id").as("obj"),
-        col("cluster_id").as("obj_proto")), "obj")
+        col("cluster_id").as("obj_proto")).hint("merge"), "obj")
       .select(col("subj_proto"), col("pred"), col("obj_proto"),
         col("stmt_id"), col("conv_id"), col("turn_idx"),
         col("start_off"), col("end_off"), col("conf"))

@@ -45,9 +45,14 @@ object RelationClusters {
   def cluster(statements: Dataset[Statement],
       memberships: Dataset[Membership]): DataFrame = {
     val m = memberships.toDF()
+    // merge hints: corpus-scale ⋈ corpus-scale on unique mention ids —
+    // never broadcastable (see [[graft.superedge.SuperEdges]]; the
+    // checkpoint stats undercount and Catalyst would broadcast)
     val withClusters = statements.toDF()
-      .join(m.select(col("member_id").as("subj"), col("cluster_id").as("subj_cluster")), "subj")
-      .join(m.select(col("member_id").as("obj"), col("cluster_id").as("obj_cluster")), "obj")
+      .join(m.select(col("member_id").as("subj"), col("cluster_id").as("subj_cluster"))
+        .hint("merge"), "subj")
+      .join(m.select(col("member_id").as("obj"), col("cluster_id").as("obj_cluster"))
+        .hint("merge"), "obj")
     val keyed = withClusters.withColumn("rel_key",
       concat_ws("|", col("pred"),
         array_join(array_sort(array(

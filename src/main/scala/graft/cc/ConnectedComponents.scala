@@ -54,13 +54,16 @@ object ConnectedComponents {
       // neighbor-min, carrying the previous label so convergence is a
       // free filter on the checkpointed result (no extra shuffle join)
       val minMsgs = sym
-        .join(labels, sym("src") === labels("sid"))
+        // merge hint: edges and labels are both vertex/edge-scale —
+        // broadcast would OOM at contract scale, and checkpoint size
+        // estimates can't be trusted (see graft.superedge.SuperEdges)
+        .join(labels.hint("merge"), sym("src") === labels("sid"))
         .groupBy(col("dst"))
         .agg(min(col("component")).as("mc"))
       // checkpoint BEFORE the self-join below: self-joining the raw
       // join+agg subtree trips Catalyst union-constraint rewriting
       val prop = labels
-        .join(minMsgs, labels("sid") === minMsgs("dst"), "left_outer")
+        .join(minMsgs.hint("merge"), labels("sid") === minMsgs("dst"), "left_outer")
         .select(labels("sid"), col("component").as("old"),
           least(col("component"), col("mc")).as("component")) // least skips nulls
         .localCheckpoint(true)
@@ -74,7 +77,7 @@ object ConnectedComponents {
       // the round — no third job per round
       val obs = Observation(s"cc_changed_$iter")
       val next = prop
-        .join(propRight, col("component") === col("y_sid"), "left_outer")
+        .join(propRight.hint("merge"), col("component") === col("y_sid"), "left_outer")
         .select(col("sid"), col("old"),
           coalesce(col("y_component"), col("component")).as("component"))
         .observe(obs, coalesce(sum(

@@ -78,7 +78,7 @@ object Linker {
           .otherwise(concat(lit("i:"), $"tokc")).as("tok"))
       .distinct()
     val df = toks.groupBy($"tok").agg(countDistinct($"sid").as("df"))
-    toks.join(df, "tok")
+    toks.join(df.hint("merge"), "tok")
       .withColumn("w", log(lit(1.0) + lit(nSurfaces.toDouble) / $"df"))
       .select($"sid", $"etype", $"tok", $"w")
   }
@@ -98,8 +98,8 @@ object Linker {
     val keys = tokKeys.unionByName(linkKeys)
     val sizes = keys.groupBy($"bkey").agg(count(lit(1)).as("bsz"))
       .filter($"bsz" >= 2 && $"bsz" <= cfg.maxBlock)
-    val kept = keys.join(sizes, "bkey").select($"bkey", $"sid")
-    kept.as("a").join(kept.as("b"), $"a.bkey" === $"b.bkey" && $"a.sid" < $"b.sid")
+    val kept = keys.join(sizes.hint("merge"), "bkey").select($"bkey", $"sid")
+    kept.as("a").join(kept.as("b").hint("merge"), $"a.bkey" === $"b.bkey" && $"a.sid" < $"b.sid")
       .select($"a.sid".as("sid1"), $"b.sid".as("sid2"))
       .distinct()
   }
@@ -111,12 +111,12 @@ object Linker {
     val t1 = toks.select(col("sid").as("sid1"), col("tok"), col("w").as("w1"))
     val t2 = toks.select(col("sid").as("sid2"), col("tok"), col("w").as("w2"))
     pairs
-      .join(t1, "sid1")
-      .join(t2, Seq("sid2", "tok"))
+      .join(t1.hint("merge"), "sid1")
+      .join(t2.hint("merge"), Seq("sid2", "tok"))
       .groupBy(col("sid1"), col("sid2"))
       .agg(sum(col("w1") * col("w2")).as("dot"))
-      .join(norms.withColumnRenamed("sid", "sid1").withColumnRenamed("nrm", "n1"), "sid1")
-      .join(norms.withColumnRenamed("sid", "sid2").withColumnRenamed("nrm", "n2"), "sid2")
+      .join(norms.withColumnRenamed("sid", "sid1").withColumnRenamed("nrm", "n1").hint("merge"), "sid1")
+      .join(norms.withColumnRenamed("sid", "sid2").withColumnRenamed("nrm", "n2").hint("merge"), "sid2")
       .select(col("sid1"), col("sid2"), (col("dot") / (col("n1") * col("n2"))).as("score"))
   }
 
@@ -147,7 +147,7 @@ object Linker {
       .agg(countDistinct($"fkey").as("nfull"), min($"sid").as("fsid"))
       .filter($"nfull" === 1)
     persons.filter($"isInitial").select($"sid", $"akey")
-      .join(uniqueFulls, "akey")
+      .join(uniqueFulls.hint("merge"), "akey")
       .filter($"sid" =!= $"fsid")
       .select(least($"sid", $"fsid").as("sid1"), greatest($"sid", $"fsid").as("sid2"))
   }
@@ -188,8 +188,8 @@ object Linker {
     }
     val sufs = surf.select($"sid", sufOf($"norm_name").as("suf"))
     val scored = score(pairs, toks)
-      .join(sufs.withColumnRenamed("sid", "sid1").withColumnRenamed("suf", "suf1"), "sid1")
-      .join(sufs.withColumnRenamed("sid", "sid2").withColumnRenamed("suf", "suf2"), "sid2")
+      .join(sufs.withColumnRenamed("sid", "sid1").withColumnRenamed("suf", "suf1").hint("merge"), "sid1")
+      .join(sufs.withColumnRenamed("sid", "sid2").withColumnRenamed("suf", "suf2").hint("merge"), "sid2")
       .filter($"suf1".isNull || $"suf2".isNull || $"suf1" === $"suf2")
     // star edges, not all-pairs: connected components only needs
     // connectivity, so each (etype, link_target) group links every
@@ -203,7 +203,7 @@ object Linker {
         .agg(min($"sid").as("rep"), count(lit(1)).as("gsz"))
         .filter($"gsz" >= 2)
         .drop("gsz")
-      l.join(reps, Seq("etype", "link_target"))
+      l.join(reps.hint("merge"), Seq("etype", "link_target"))
         .filter($"sid" =!= $"rep")
         .select(least($"sid", $"rep").as("sid1"),
           greatest($"sid", $"rep").as("sid2"))

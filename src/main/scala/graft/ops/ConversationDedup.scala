@@ -50,7 +50,7 @@ object ConversationDedup {
     require(g.getLong(0) == g.getLong(1),
       s"conv_id hash collision: ${g.getLong(0)} conversations, ${g.getLong(1)} distinct doc ids")
     Dedup.nearDupClusters(docs.select(col("doc_id"), col("text")), jaccardThreshold)
-      .join(docs.select(col("doc_id"), col("conv_id")), "doc_id")
+      .join(docs.select(col("doc_id"), col("conv_id")).hint("merge"), "doc_id")
       .select(col("conv_id"), col("doc_id"), col("canon_id"), col("is_dup"))
   }
 
@@ -60,7 +60,7 @@ object ConversationDedup {
     val spark = turns.sparkSession
     import spark.implicits._
     turns.toDF()
-      .join(clusters.filter(!col("is_dup")).select(col("conv_id")),
+      .join(clusters.filter(!col("is_dup")).select(col("conv_id")).hint("merge"),
         Seq("conv_id"), "left_semi")
       .as[Turn]
   }

@@ -116,7 +116,7 @@ object Dedup {
           .cast("array<string>").cast("string"), lit(b)).as("bucket"))
     }.reduce(_ unionByName _)
     bands.as("a")
-      .join(bands.as("b"),
+      .join(bands.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -140,7 +140,7 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val comp = graft.cc.ConnectedComponents.run(verified)
     docs.select(col("doc_id"))
-      .join(comp.withColumnRenamed("sid", "doc_id"), Seq("doc_id"), "left_outer")
+      .join(comp.withColumnRenamed("sid", "doc_id").hint("merge"), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("canon_id"))
       .withColumn("is_dup", col("doc_id") =!= col("canon_id"))
@@ -151,8 +151,8 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 5): DataFrame = {
     val shingled = docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
     pairs
-      .join(shingled.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(shingled.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .join(shingled.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a").hint("merge"), "doc_a")
+      .join(shingled.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b").hint("merge"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)))
@@ -185,7 +185,7 @@ object Dedup {
         shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("key"))
     }.reduce(_ unionByName _)
     chunks.as("a")
-      .join(chunks.as("b"),
+      .join(chunks.as("b").hint("merge"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

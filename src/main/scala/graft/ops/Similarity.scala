@@ -180,7 +180,7 @@ object Similarity {
       .filter(col("pr") <= math.max(nprobe, 1))
       .select(col("query_id"), col("q_emb"), col("centroid"))
     val cand = probes.join(assigned.select(col("vec_id"), col("embedding"),
-      col("centroid")), "centroid")
+      col("centroid")).hint("merge"), "centroid")
     // fallback: queries with under-filled (or EMPTY) posting lists go
     // brute-force — anti-join against the well-filled set, so a query
     // with zero candidates (absent from `cand` entirely) still falls
@@ -230,7 +230,7 @@ object Similarity {
       .select(col("query_id"), col("embedding").as("q_emb"),
         explode(array(masks.map(m =>
           col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    val cand = probes.join(b, "bucket")
+    val cand = probes.join(b.hint("merge"), "bucket")
       .select(col("query_id"), col("q_emb"), col("vec_id"), col("embedding"))
     // zero-candidate queries (all probed buckets empty — the common
     // LSH miss mode for outliers) MUST fall back too: see underfilled
@@ -293,15 +293,15 @@ object Similarity {
     val probed = slim.select(col("vec_id"), col("band"),
       explode(array(masks.map(m =>
         col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    val candPairs = probed.as("a").join(slim.as("b"),
+    val candPairs = probed.as("a").join(slim.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
     val emb = b.select(col("vec_id"), col("embedding"))
     candPairs
-      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
-      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")).hint("merge"), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")).hint("merge"), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("emb_a"), col("emb_b")), 6).as("sim"))
       .filter(col("sim") >= threshold)

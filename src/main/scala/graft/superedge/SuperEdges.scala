@@ -27,9 +27,17 @@ object SuperEdges {
     val m = memberships.toDF()
     val subjM = m.select(col("member_id").as("subj"), col("cluster_id").as("subj_proto"))
     val objM = m.select(col("member_id").as("obj"), col("cluster_id").as("obj_proto"))
+    // EXPLICIT sort-merge: both sides are corpus-scale, so neither may
+    // ever broadcast — but checkpointed inputs inherit their
+    // pre-checkpoint size ESTIMATE (a few MB for a synth range plan),
+    // and Catalyst compile-time-broadcast the 10^6-row statements side
+    // (BuildLeft, profiled at 820 executor-s of the pipeline; at
+    // contract scale it's a straight driver OOM). The merge hint pins
+    // the always-safe spillable shuffle join on mention_id — unique per
+    // membership row, so 1:1 and skew-free.
     statements.toDF()
-      .join(subjM, "subj")
-      .join(objM, "obj")
+      .join(subjM.hint("merge"), "subj")
+      .join(objM.hint("merge"), "obj")
       .groupBy(col("subj_proto"), col("pred"), col("obj_proto"))
       .agg(count(lit(1)).as("cnt"))
       // reference confidence formula, update_kg/sparqls.py:479
