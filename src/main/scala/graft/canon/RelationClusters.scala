@@ -38,10 +38,12 @@ object RelationClusters {
     * partial aggregation — a hot rel_key is absorbed map-side into one
     * partial per task) joined back on rel_key, NOT a window count
     * (which would shuffle and sort every member row of the hot cluster
-    * into a single window task). The join-back's per-cluster side is
-    * one row per cluster — broadcastable by AQE when small, and an AQE
-    * skew-split-able sort-merge join otherwise (windows get no such
-    * skew handling). */
+    * into a single window task). The join-back is merge-hinted like
+    * every other cluster-scale join here: its count side is one row
+    * per relation cluster — corpus-growing, and size ESTIMATES on
+    * checkpoint-descended frames undercount, so letting Catalyst
+    * broadcast it is an OOM at contract scale; the sort-merge join
+    * stays AQE skew-split-able (windows get no such skew handling). */
   def cluster(statements: Dataset[Statement],
       memberships: Dataset[Membership]): DataFrame = {
     val m = memberships.toDF()
@@ -61,7 +63,7 @@ object RelationClusters {
     val counts = keyed.groupBy(col("rel_key"))
       .agg(count(lit(1)).as("n_members"))
     keyed
-      .join(counts, "rel_key")
+      .join(counts.hint("merge"), "rel_key")
       .withColumn("relation_cluster_id", concat(lit("rc:"), md5(col("rel_key"))))
       .select(col("relation_cluster_id"), col("rel_key"),
         col("stmt_id"), col("n_members"))

@@ -149,4 +149,31 @@ class PlanSpec extends AnyFunSuite {
     // two HashAggregates around the exchange = partial + final
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("corpus-scale joins never broadcast (checkpoint stats undercount)") {
+    import spark.implicits._
+    // checkpointed inputs inherit their PRE-checkpoint size estimate —
+    // for a synth range plan that's a few MB regardless of true row
+    // count, and Catalyst once compile-time-broadcast the 10^6-row
+    // statements side of the superedge join (profiled at 820
+    // executor-s; an OOM at contract scale). The merge hints must hold
+    // even when the sides look tiny to the optimizer.
+    val ms = Seq(graft.schema.Membership("c1", "m1", 1.0),
+      graft.schema.Membership("c2", "m2", 1.0)).toDS()
+    val st = Seq(graft.schema.Statement("s1", "m1", "P", "m2", 0.9, "d", 0, 0, 1)).toDS()
+    val mentions = Seq(graft.schema.Mention(
+      "m1", "d", 0, "entity", "Person", "X", "x", 0, 1, 0.9, null)).toDS()
+    for ((name, df) <- Seq(
+        "superEdges" -> graft.superedge.SuperEdges.superEdges(st, ms).toDF(),
+        "relationClusters" -> graft.canon.RelationClusters.cluster(st, ms),
+        "superEdgeJustifications" ->
+          graft.canon.Justifications.superEdgeJustifications(st, ms),
+        "annotatedMembers" ->
+          graft.canon.Justifications.annotatedMembers(ms, mentions))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"$name broadcasts a corpus-scale side:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"$name lost its merge join:\n$plan")
+    }
+  }
 }
