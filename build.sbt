@@ -26,6 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // ImageIO decode (graft.ops.Multimodal) must never touch a display
+  "-Djava.awt.headless=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // G1 (JDK17 default): the pipeline's typed
   // flatMaps are allocation-heavy but almost everything dies young —

@@ -11,16 +11,19 @@ import org.apache.spark.sql.functions._
  * /root/reference/update_kg/sparqls.py:115-164, turtle templates
  * update_kg/Updater.py:385-485).
  *
- * Three modalities decode for REAL in pure JVM — WAV/PCM audio, BMP
- * images (header+raw samples), and PNG images (zlib-compressed IDAT:
- * the JDK ships `java.util.zip.Inflater`, so PNG needs no external
- * codec — full chunk walk, inflate, and scanline de-filtering
- * including Paeth); payloads are dispatched on their magic bytes.
- * Codec-bound formats (JPEG/MP3/H.264) fall back to a clearly-marked
- * deterministic STUB (this container ships no codecs); the Spark-side
- * contract — schema, batch shape, partition-parallel mapPartitions,
- * failure capture — is identical for both paths, so swapping the stub
- * for a JNI/codec call changes only `decodeKernel`.
+ * Image and PCM-audio payloads decode for REAL without any external
+ * dependency, dispatched on magic bytes:
+ *  - WAV/PCM, BMP, PNG: hand-rolled pure-JVM decoders (PNG's only
+ *    compression is zlib DEFLATE — `java.util.zip.Inflater` ships
+ *    with the JDK; full chunk walk + all five scanline filters);
+ *  - JPEG / GIF / TIFF: the JDK's own `javax.imageio` readers
+ *    (java.desktop ships them; verified headless in this container) —
+ *    real Huffman+DCT JPEG decode, no added library.
+ * Only genuinely codec-bound MEDIA formats (MP3/AAC audio, H.264
+ * video) fall back to a clearly-marked deterministic STUB; the
+ * Spark-side contract — schema, batch shape, partition-parallel
+ * mapPartitions, failure capture — is identical for all paths, so
+ * swapping the stub for a JNI/codec call changes only `decodeKernel`.
  */
 object Multimodal {
 
@@ -65,7 +68,30 @@ object Multimodal {
         (payload(4) & 0xff) == 0x0d && (payload(5) & 0xff) == 0x0a &&
         (payload(6) & 0xff) == 0x1a && (payload(7) & 0xff) == 0x0a)
       decodePng(payload)
+    else if (payload.length >= 3 && (payload(0) & 0xff) == 0xff &&
+        (payload(1) & 0xff) == 0xd8 && (payload(2) & 0xff) == 0xff)
+      decodeImageIo(payload) // JPEG (SOI + marker)
+    else if (payload.length >= 4 && payload(0) == 'G' && payload(1) == 'I' &&
+        payload(2) == 'F' && payload(3) == '8')
+      decodeImageIo(payload) // GIF87a/89a
+    else if (payload.length >= 4 &&
+        ((payload(0) == 'I' && payload(1) == 'I' && (payload(2) & 0xff) == 42 && payload(3) == 0) ||
+         (payload(0) == 'M' && payload(1) == 'M' && payload(2) == 0 && (payload(3) & 0xff) == 42)))
+      decodeImageIo(payload) // TIFF little/big-endian
     else stubKernel(payload)
+
+  /** JDK `javax.imageio` decode for the codec formats the JDK itself
+    * ships readers for (JPEG/GIF/TIFF — verified headless here): the
+    * resulting pixels go through the SAME [[pixelFeatures]] as
+    * BMP/PNG, so features are format-independent (lossless formats
+    * bit-identically so; JPEG up to its own quantization loss). */
+  private[ops] def decodeImageIo(payload: Array[Byte]): Array[Float] = {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    require(img.getWidth > 0 && img.getHeight > 0, "empty image")
+    pixelFeatures(img.getWidth, img.getHeight, (x, y) => img.getRGB(x, y) & 0xffffff)
+  }
 
   private def i32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
@@ -298,8 +324,10 @@ object Multimodal {
     })
   }
 
-  /** STUB for codec-bound formats — deterministic bytes→features fake
-    * (chunked byte sums, L2-normalized); marked intentionally. */
+  /** STUB for the remaining codec-bound MEDIA formats (MP3/AAC audio,
+    * H.264/VP9 video — no JDK decoder exists and this container ships
+    * no codec libraries) — deterministic bytes→features fake (chunked
+    * byte sums, L2-normalized); marked intentionally. */
   private[ops] def stubKernel(payload: Array[Byte]): Array[Float] = {
     val acc = new Array[Float](EmbeddingDim)
     var i = 0

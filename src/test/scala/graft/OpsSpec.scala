@@ -467,6 +467,40 @@ class OpsSpec extends AnyFunSuite {
     assert(!out("trunc").ok && out("trunc").error != null)
   }
 
+  test("JPEG/GIF decode via the JDK's ImageIO: real codecs, format-independent features") {
+    import spark.implicits._
+    // few-color image: GIF's 256-color palette is lossless for it, so
+    // the GIF path must be BIT-IDENTICAL to the pure BMP decoder;
+    // JPEG is lossy — features must be close, not equal
+    val img = (x: Int, y: Int) => if (x < 8) (200, 40, 40) else (40, 40, 200)
+    def encode(fmt: String): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(16, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 16) {
+        val (r, g, b) = img(x, y)
+        bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow("bmp", "image", bmpBytes(16, 8, img), 16, 8, 0L, "d"),
+      Multimodal.MediaRow("jpg", "image", encode("jpg"), 16, 8, 0L, "d"),
+      Multimodal.MediaRow("gif", "image", encode("gif"), 16, 8, 0L, "d"),
+      Multimodal.MediaRow("badjpg", "image",
+        encode("jpg").take(40), 16, 8, 0L, "d")).toDS()
+    val out = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(out("gif").ok, String.valueOf(out("gif").error))
+    assert(out("gif").embedding.toSeq == out("bmp").embedding.toSeq,
+      "lossless GIF diverged from the pure BMP decoder")
+    assert(out("jpg").ok, String.valueOf(out("jpg").error))
+    val (j, b) = (out("jpg").embedding, out("bmp").embedding)
+    (2 to 5).foreach(i => assert(math.abs(j(i) - b(i)) < 0.02,
+      s"jpeg feature $i off: ${j(i)} vs ${b(i)}"))
+    assert(!out("badjpg").ok && out("badjpg").error != null)
+  }
+
   test("langid picks the stopword-dominant language") {
     val d = spark.createDataFrame(Seq(
       (1L, "the cat and the dog went to the market of the town"),
