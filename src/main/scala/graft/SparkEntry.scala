@@ -88,6 +88,14 @@ object SparkEntry {
       t(s, d, "orders").select(col("o_custkey").as("id"))
         .union(t(s, d, "customer").select(col("c_custkey").as("id")))
         .distinct()),
+    "q_intersect" -> ((s, d) => // §2.7: INTERSECT (customers with orders)
+      t(s, d, "customer").select(col("c_custkey").as("id"))
+        .intersect(t(s, d, "orders").select(col("o_custkey").as("id")))),
+    "q_except" -> ((s, d) => // §2.7: EXCEPT (customers with no big order —
+      // the price cut keeps the result non-empty at sf0.01)
+      t(s, d, "customer").select(col("c_custkey").as("id"))
+        .except(t(s, d, "orders").filter(col("o_totalprice") > 250000)
+          .select(col("o_custkey").as("id")))),
     "q_two_hop" -> ((s, d) => { // J3: property-path (2-hop) join
       val n = t(s, d, "nation"); val r = t(s, d, "region")
       t(s, d, "customer")
@@ -409,6 +417,10 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q_union" ->
       "SELECT o_custkey AS id FROM orders UNION SELECT c_custkey AS id FROM customer",
+    "q_intersect" ->
+      "SELECT c_custkey AS id FROM customer INTERSECT SELECT o_custkey AS id FROM orders",
+    "q_except" ->
+      "SELECT c_custkey AS id FROM customer EXCEPT SELECT o_custkey AS id FROM orders WHERE o_totalprice > 250000",
     "q_two_hop" ->
       """SELECT c_custkey, r_name FROM customer
         |JOIN nation ON c_nationkey = n_nationkey

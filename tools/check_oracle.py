@@ -36,8 +36,13 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        import os
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            # not dumped this run (SPARK_GRAFT_VERIFY_ONLY) — not a failure
+            n_skip += 1
+            continue
         try:
             o = con.sql(sql)
             ocols, orows = [d[0] for d in o.description], o.fetchall()
@@ -61,7 +66,8 @@ def main(sf_dir, out_dir):
         except Exception as e:
             n_bad += 1
             print(f"ERR  {name}: {str(e)[:300]}")
-    print(f"== {n_ok} ok, {n_bad} bad")
+    print(f"== {n_ok} ok, {n_bad} bad" +
+          (f", {n_skip} not dumped (skipped)" if n_skip else ""))
     return 1 if n_bad else 0
 
 
