@@ -75,9 +75,32 @@ object StreamingExtract {
       }
   }
 
+  /** Streaming EXACT dedup over incoming conversation turns, the
+    * ingest-time face of [[graft.ops.Dedup.exact]]: only the FIRST
+    * turn per normalized-text fingerprint survives (Structured
+    * Streaming's built-in `dropDuplicates` — keyed state in the state
+    * store, no custom state code). The watermark bounds the store:
+    * fingerprints older than `watermark` of event time are evicted, so
+    * a re-ingest later than that re-emits — the standard bounded-state
+    * trade (same contract as windowed aggs), made explicit here
+    * because an UNBOUNDED fingerprint store at 10^12 turns is the real
+    * alternative. Append mode; works identically on batch frames
+    * (where dropDuplicates is global and exact). */
+  def dedupTurns(turns: Dataset[Turn], watermark: String = "24 hours"): Dataset[Turn] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.toDF()
+      .withColumn("fp", xxhash64(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("fp")
+      .drop("fp")
+      .as[Turn]
+  }
+
   /** The OutputMode each shape needs — kept next to the operators so
     * callers don't guess. */
   val mentionsMode: OutputMode = OutputMode.Append()
   val windowMode: OutputMode = OutputMode.Update()
   val progressMode: OutputMode = OutputMode.Update()
+  val dedupMode: OutputMode = OutputMode.Append()
 }

@@ -53,6 +53,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: first-seen turn per fingerprint survives across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Turn]
+    val q = StreamingExtract.dedupTurns(src.toDS(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        turn("c1", 0, "John Smith met Maria Garcia.", 100),
+        turn("c2", 0, "John  Smith met   Maria Garcia.", 110), // ws-variant dup
+        turn("c3", 0, "Ivan Petrov visited Tokyo.", 120))
+      q.processAllAvailable()
+      assert(spark.table("stream_dedup").count() == 2)
+      // a later micro-batch re-ingesting the same text is still dropped
+      src.addData(turn("c4", 0, "John Smith met Maria Garcia.", 200),
+        turn("c5", 0, "Something brand new happened.", 210))
+      q.processAllAvailable()
+      val out = spark.table("stream_dedup").collect().map(_.getString(0)).toSet
+      assert(out == Set("c1", "c3", "c5"), s"got $out")
+    } finally q.stop()
+  }
+
   test("per-conversation running state via mapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
