@@ -64,6 +64,84 @@ object Scratch {
       spark.stop()
       return
     }
+    if (sys.env.get("SCRATCH_MODE").contains("outputs")) {
+      // kg_full_outputs anatomy: force each justification/event output
+      // separately (serial) or all at once (concurrent=1) to attribute
+      // the cost; annotated cache build isolated first
+      val r = Pipeline.run(turns)
+      println(s"[scratch] triples=${r.triples.count()}")
+      def force(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      if (sys.env.get("SCRATCH_CONCURRENT").contains("1")) {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val outs = Seq(r.eventPrototypes.toDF(), r.relationClusters,
+          r.informativeJustifications, r.clusterLinks,
+          r.protoJustifications, r.superEdgeJustifications)
+        time("all_outputs_concurrent") {
+          Await.result(Future.sequence(outs.map(df => Future(force(df)))), Duration.Inf)
+        }
+      } else if (sys.env.get("SCRATCH_VARIANT").contains("ab")) {
+        // in-session A/B, D-A-D ordering to control JIT: D = checkpoint
+        // the shared join; A = lazily persist it (the Result path)
+        def runD(tag: String): Unit = {
+          val ann = time(s"${tag}_annotated_ckpt")(graft.canon.Justifications
+            .annotatedMembers(r.memberships, r.mentions).localCheckpoint(true))
+          time(s"${tag}_clusterLinks")(force(graft.canon.Justifications.clusterLinksFrom(ann)))
+          time(s"${tag}_infJust")(
+            force(graft.canon.Justifications.informativeJustificationsFrom(ann)))
+          time(s"${tag}_protoJust")(
+            force(graft.canon.Justifications.prototypeJustificationsFrom(ann, r.prototypes)))
+          graft.util.Blocks.release(ann)
+        }
+        def runA(tag: String): Unit = {
+          val ann = graft.canon.Justifications
+            .annotatedMembers(r.memberships, r.mentions)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          time(s"${tag}_annotated_persist")(force(ann))
+          time(s"${tag}_clusterLinks")(force(graft.canon.Justifications.clusterLinksFrom(ann)))
+          time(s"${tag}_infJust")(
+            force(graft.canon.Justifications.informativeJustificationsFrom(ann)))
+          time(s"${tag}_protoJust")(
+            force(graft.canon.Justifications.prototypeJustificationsFrom(ann, r.prototypes)))
+          ann.unpersist(true)
+        }
+        runD("d1"); runA("a1"); runD("d2"); runA("a2")
+      } else if (sys.env.get("SCRATCH_VARIANT").contains("ckpt")) {
+        // D: annotated via eager localCheckpoint instead of persist()
+        val ann = time("annotated_ckpt") {
+          val a = graft.canon.Justifications
+            .annotatedMembers(r.memberships, r.mentions).localCheckpoint(true)
+          a
+        }
+        time("clusterLinks")(force(graft.canon.Justifications.clusterLinksFrom(ann)))
+        time("informativeJustifications")(
+          force(graft.canon.Justifications.informativeJustificationsFrom(ann)))
+        time("protoJustifications")(
+          force(graft.canon.Justifications.prototypeJustificationsFrom(ann, r.prototypes)))
+        graft.util.Blocks.release(ann)
+      } else if (sys.env.get("SCRATCH_VARIANT").contains("plain")) {
+        // B: no sharing at all — each output re-joins
+        time("clusterLinks")(
+          force(graft.canon.Justifications.clusterLinks(r.memberships, r.mentions)))
+        time("informativeJustifications")(
+          force(graft.canon.Justifications.informativeJustifications(r.memberships, r.mentions)))
+        time("protoJustifications")(force(graft.canon.Justifications
+          .prototypeJustifications(r.memberships, r.mentions, r.prototypes)))
+      } else {
+        time("annotated_build")(force(r.annotatedMembers))
+        time("clusterLinks")(force(r.clusterLinks))
+        time("informativeJustifications")(force(r.informativeJustifications))
+        time("protoJustifications")(force(r.protoJustifications))
+        time("eventPrototypes")(force(r.eventPrototypes.toDF()))
+        time("relationClusters")(force(r.relationClusters))
+        time("superEdgeJustifications")(force(r.superEdgeJustifications))
+      }
+      r.unpersist()
+      spark.stop()
+      return
+    }
     if (sys.env.get("SCRATCH_MODE").contains("bench")) {
       val n = time("pipeline_end_to_end") {
         Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = cores * 2))
