@@ -47,14 +47,22 @@ object Bench {
       timings(name) = (System.nanoTime() - t0) / 1e9
       r
     }
-    val pipelineRuns = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+    /** One measured run with its BRACKETING canaries: a ~2s pre-run
+      * canary cannot see a throughput cap that arrives mid-run (a 362s
+      * run shipped as "ok" in r4 exactly this way), so each run is
+      * classified on min(pre, post). */
+    final case class Run(sec: Double, stealSec: Double, cPre: Double, cPost: Double) {
+      def canary: Double = math.min(cPre, cPost)
+    }
+    val pipelineRuns = scala.collection.mutable.ArrayBuffer.empty[Run]
     var weather = "ok"
     def emit(nTriples: Long, nTurns: Long, turnsPerSec: Double): Unit = {
       val (steal1, busy1) = cpuJiffies()
       val qs = timings.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
       val runsJson = pipelineRuns
-        .map { case (s, st, cr) =>
-          f"""{"sec":$s%.1f,"steal_sec":$st%.1f,"canary_rows_per_sec":$cr%.0f}""" }
+        .map { r =>
+          f"""{"sec":${r.sec}%.1f,"steal_sec":${r.stealSec}%.1f,""" +
+            f""""canary_pre_rows_per_sec":${r.cPre}%.0f,"canary_post_rows_per_sec":${r.cPost}%.0f}""" }
         .mkString("[", ",", "]")
       println(
         f"""{"metric":"total","value":${timings.values.sum}%.3f,"unit":"sec","queries":$qs,""" +
@@ -75,6 +83,7 @@ object Bench {
       nConvs = (pipeTurns / 10).toInt, turnsPerConv = 10)
 
     val machineCores = Runtime.getRuntime.availableProcessors()
+    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "4").toInt
     // committed quiet-window kernel rate: 2.16e9 rows/s at 32 cores
     // (r3, 19 steal-sec window), 1.85e9 re-measured r4; per-core ≈
     // 66M rows/s. 8-core quiet windows ran ~92M/core, so a 0.5× gate
@@ -82,7 +91,10 @@ object Bench {
     val quietCanaryPerCore = 66e6
     def canary(): Double = {
       import org.apache.spark.sql.functions.{bit_count, col, sum, xxhash64}
-      val n = 2_000_000_000L.max(62_500_000L * cpus) // ~1-2s quiet
+      // scaled with cores (not floored at 2e9): ~1s in a quiet window
+      // at ANY core count — the old floor made the canary several-fold
+      // slower on low-core runs (the scaling-ladder rows)
+      val n = 62_500_000L * cpus
       val t0 = System.nanoTime()
       // IDENTICAL kernel to graft.CpuProbe — the committed constant
       // was measured with this exact expression
@@ -90,6 +102,27 @@ object Bench {
         .select(sum(bit_count(xxhash64(col("id"), xxhash64(col("id"), col("id"))))))
         .head()
       n / ((System.nanoTime() - t0) / 1e9)
+    }
+    val canaryGate = 0.5 * quietCanaryPerCore * cpus
+    def quietFrac(sec: Double, stealSec: Double): Double =
+      stealSec / math.max(sec * machineCores, 1e-9)
+    // 5%: measured windows show <2% steal on good runs, 9% on runs
+    // still 4x off the engine number — 10% admitted weather as "quiet"
+    def isQuiet(r: Run): Boolean =
+      quietFrac(r.sec, r.stealSec) < 0.05 && r.canary >= canaryGate
+    /** THE SELECTED RUN IS THE GATED RUN: headline = min over runs that
+      * are BOTH low-steal and double-canary-clean; only if no run
+      * qualifies fall back to min-of-all and self-label the weather
+      * (r4 shipped a 171s headline as "ok" because a DIFFERENT run
+      * passed the gate while the min run's own canary failed it). */
+    def selectHeadline(): Double = {
+      val quiet = pipelineRuns.filter(isQuiet)
+      if (quiet.nonEmpty) { weather = "ok"; quiet.map(_.sec).min }
+      else {
+        weather = if (pipelineRuns.exists(_.canary < canaryGate)) "capped"
+                  else "high_steal"
+        pipelineRuns.map(_.sec).min
+      }
     }
 
     // SPARK_GRAFT_BENCH_MODE=extract → the data-dominant stage alone,
@@ -99,21 +132,19 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("extract")) {
       canary() // JIT warmup
       def oneExtract(name: String): Unit = {
-        val cRate = canary()
+        val cPre = canary()
         val (s0, _) = cpuJiffies()
         timed(name) { MentionExtractor_forceCount(spark, cfg) }
         val (s1, _) = cpuJiffies()
-        pipelineRuns += ((timings(name), (s1 - s0) / 100.0, cRate))
+        pipelineRuns += Run(timings(name), (s1 - s0) / 100.0, cPre, canary())
       }
       oneExtract("extract_1")
       oneExtract("extract_2")
-      timings("extract_only") = math.min(timings("extract_1"), timings("extract_2"))
-      weather =
-        if (pipelineRuns.exists { case (s, st, cr) =>
-          st / math.max(s * machineCores, 1e-9) < 0.05 &&
-            cr >= 0.5 * quietCanaryPerCore * cpus }) "ok"
-        else if (pipelineRuns.exists(_._3 < 0.5 * quietCanaryPerCore * cpus)) "capped"
-        else "high_steal"
+      var tries = 2
+      while (!pipelineRuns.exists(isQuiet) && tries < maxRuns) {
+        tries += 1; oneExtract(s"extract_$tries")
+      }
+      timings("extract_only") = selectHeadline()
       emit(0L, cfg.nTurns, cfg.nTurns / timings("extract_only"))
       spark.stop()
       return
@@ -146,30 +177,19 @@ object Bench {
     //      committed quiet-window constant. A capped window suppresses
     //      the canary the same way it suppresses the pipeline.
     // Protocol: min-of-2 always; keep re-running (bounded) until one
-    // run is BOTH low-steal AND canary-clean, and say which happened in
-    // the JSON (`weather`), with per-run steal + canary so a reader can
-    // judge each sample.
-    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "4").toInt
-    def quietFrac(sec: Double, stealSec: Double): Double =
-      stealSec / math.max(sec * machineCores, 1e-9)
-    // 5%: measured windows show <2% steal on good runs, 9% on runs
-    // still 4x off the engine number — 10% admitted weather as "quiet"
-    var sawQuiet = false
-    var sawCapped = false
+    // run is BOTH low-steal AND double-canary-clean, and report the
+    // weather OF THE SELECTED RUN in the JSON (`weather`), with per-run
+    // steal + both canaries so a reader can judge each sample.
     canary() // throwaway JIT warmup: a cold first canary reads ~4× low
-    while (pipelineRuns.size < 2 || (!sawQuiet && pipelineRuns.size < maxRuns)) {
-      val cRate = canary()
+    while (pipelineRuns.size < 2 ||
+        (!pipelineRuns.exists(isQuiet) && pipelineRuns.size < maxRuns)) {
+      val cPre = canary()
       val (s0, _) = cpuJiffies()
       val sec = onePipeline()
       val (s1, _) = cpuJiffies()
-      val stealSec = (s1 - s0) / 100.0
-      pipelineRuns += ((sec, stealSec, cRate))
-      val canaryOk = cRate >= 0.5 * quietCanaryPerCore * cpus
-      if (!canaryOk) sawCapped = true
-      if (quietFrac(sec, stealSec) < 0.05 && canaryOk) sawQuiet = true
+      pipelineRuns += Run(sec, (s1 - s0) / 100.0, cPre, canary())
     }
-    weather = if (sawQuiet) "ok" else if (sawCapped) "capped" else "high_steal"
-    timings("kg_pipeline") = pipelineRuns.map(_._1).min
+    timings("kg_pipeline") = selectHeadline()
     val turnsPerSec = cfg.nTurns / timings("kg_pipeline")
 
     // SPARK_GRAFT_BENCH_MODE=pipeline → headline only (the N vs 4N

@@ -43,6 +43,25 @@ object Main {
     } else spark.read.parquet(input).as[Turn]
   }
 
+  /** The tagged-union KE extraction frame over `turns` — the same
+    * single-flatMap shape Pipeline.run uses, exposed so the batch
+    * ([[runResumable]]) and streaming
+    * ([[graft.streaming.IncrementalKg]]) faces extract identically. */
+  def extractKe(turns: Dataset[Turn]): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.flatMap { t =>
+      val k = MentionExtractor.extractTurn(t)
+      k.mentions.iterator.map(m => (1, m, null: Statement, null: EventArg, null: String)).toSeq ++
+        k.statements.iterator.map(s => (2, null: Mention, s, null: EventArg, null: String)) ++
+        k.events.iterator.map(m => (4, m, null: Statement, null: EventArg, null: String)) ++
+        k.eventArgs.iterator.map(a => (5, null: Mention, null: Statement, a, null: String)) ++
+        (if (k.error != null)
+           Seq((3, null: Mention, null: Statement, null: EventArg, k.error))
+         else Nil)
+    }.toDF("tag", "m", "s", "a", "error")
+  }
+
   /** Run all stages through the store; returns the triple count.
     * `inputId` identifies the input corpus; together with the linker
     * config it forms each stage's snapshot fingerprint, so a rerun
@@ -51,7 +70,6 @@ object Main {
   def runResumable(spark: SparkSession, turns: Dataset[Turn],
       store: SnapshotStore, linkCfg: Linker.Config = Linker.Config(),
       inputId: String = "", dedupJaccard: Option[Double] = None): Long = {
-    import spark.implicits._
     val fp = s"input=$inputId|threshold=${linkCfg.threshold}" +
       s"|maxBlock=${linkCfg.maxBlock}|minTokenLen=${linkCfg.minTokenLen}" +
       s"|dedup=${dedupJaccard.getOrElse("off")}"
@@ -70,18 +88,19 @@ object Main {
       case None => turns
     }
 
-    val ke = store.getOrCreate(spark, "ke", fp) {
-      turnsIn.flatMap { t =>
-        val k = MentionExtractor.extractTurn(t)
-        k.mentions.iterator.map(m => (1, m, null: Statement, null: EventArg, null: String)).toSeq ++
-          k.statements.iterator.map(s => (2, null: Mention, s, null: EventArg, null: String)) ++
-          k.events.iterator.map(m => (4, m, null: Statement, null: EventArg, null: String)) ++
-          k.eventArgs.iterator.map(a => (5, null: Mention, null: Statement, a, null: String)) ++
-          (if (k.error != null)
-             Seq((3, null: Mention, null: Statement, null: EventArg, k.error))
-           else Nil)
-      }.toDF("tag", "m", "s", "a", "error")
-    }
+    val ke = store.getOrCreate(spark, "ke", fp)(extractKe(turnsIn))
+    kgStages(spark, ke, store, fp, linkCfg)
+  }
+
+  /** Every stage DOWNSTREAM of extraction, from the tagged KE frame to
+    * the triples — shared verbatim by the batch resume path (ke = one
+    * snapshot of the whole corpus) and the streaming incremental path
+    * (ke = the union of the append-log's delta snapshots; the caller
+    * keys `fp` to the log head so advancing the log recomputes and an
+    * idempotent re-fire resumes). Returns the triple count. */
+  def kgStages(spark: SparkSession, ke: DataFrame, store: SnapshotStore,
+      fp: String, linkCfg: Linker.Config): Long = {
+    import spark.implicits._
     val mentions = ke.filter(col("tag") === 1).select(col("m.*")).as[Mention]
     val statements = ke.filter(col("tag") === 2).select(col("s.*")).as[Statement]
     val events = ke.filter(col("tag") === 4).select(col("m.*")).as[Mention]
@@ -133,7 +152,9 @@ object Main {
     // (reference run_all steps 6-8 and the proto/superedge
     // justification inserts, Updater.py:222-256, sparqls.py:391-527)
     store.getOrCreate(spark, "relation_clusters", fp) {
-      graft.canon.RelationClusters.cluster(statements, memberships)
+      // superedge-count reuse: n_members comes from the superedges
+      // snapshot, so the statements⋈memberships² joins run once
+      graft.canon.RelationClusters.cluster(statements, memberships, superEdges)
     }
     store.getOrCreate(spark, "cluster_justifications", fp) {
       graft.canon.Justifications.informativeJustifications(memberships, mentions)

@@ -178,7 +178,10 @@ object Pipeline {
     val eventMemberships = EventCoref.memberships(eventKeyed)
     val eventPrototypes = EventCoref.prototypes(eventKeyed)
 
-    val relationClusters = RelationClusters.cluster(statements, memberships)
+    // superedge-count reuse: the checkpointed superedge aggregate IS the
+    // per-relation-cluster member count, so the statements⋈memberships²
+    // subtree appears once in this lazy plan (no join-back re-execution)
+    val relationClusters = RelationClusters.cluster(statements, memberships, superEdges)
     // the three cluster-level justification/link outputs share ONE
     // memberships ⋈ mentions join — persisted lazily, so consumers that
     // never touch the justification surface pay nothing, and consumers

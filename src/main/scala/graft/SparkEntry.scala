@@ -21,6 +21,29 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Synth configs for the pipeline queries — shared with Verify's
+    * golden-truth parquet dumps so the driver's DuckDB pass joins the
+    * pipeline output against EXACTLY the corpus it was built from. */
+  val KgTriplesCfg: TranscriptSynth.Config =
+    TranscriptSynth.Config(nConvs = 80, turnsPerConv = 8)
+  val KgEventsCfg: TranscriptSynth.Config =
+    TranscriptSynth.Config(nConvs = 60, turnsPerConv = 8)
+
+  /** The enumerable planted-truth triple set as a DataFrame. */
+  def goldenTriplesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    TranscriptSynth.goldenTriples(KgTriplesCfg).toSeq.toDF()
+  }
+
+  /** The enumerable planted-truth event frames as a DataFrame. */
+  def goldenEventFramesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    TranscriptSynth.goldenEventFrames(KgEventsCfg).toSeq
+      .map { case ((etype, subj, obj, place, parts), n) =>
+        (etype, subj, obj, place, parts, n) }
+      .toDF("etype", "subj", "obj", "place", "participants", "golden_n")
+  }
+
   /** Flagship: end-to-end KG construction on a small deterministic
     * transcript corpus → corpus-level superedge triples. */
   def entry(spark: SparkSession): DataFrame = {
@@ -243,8 +266,22 @@ object SparkEntry {
     }),
     // ---- the KG pipeline itself (non-SQL; golden-tested in ScalaTest)
     "q_kg_triples" -> ((s, _) => {
-      val cfg = TranscriptSynth.Config(nConvs = 80, turnsPerConv = 8)
-      Pipeline.run(TranscriptSynth.turnsDs(s, cfg, partitions = 8)).triples.toDF()
+      Pipeline.run(TranscriptSynth.turnsDs(s, KgTriplesCfg, partitions = 8)).triples.toDF()
+    }),
+    "q_kg_triples_golden" -> ((s, _) => { // pipeline ∪ golden full-outer
+      // verdict — one row per triple in EITHER set. The DuckDB oracle
+      // computes the same join from the q_kg_triples dump and the
+      // golden parquet Verify writes, so pipeline parity (P/R at the
+      // row level) becomes a hash-matched CORRECTNESS row instead of
+      // living only in ScalaTest.
+      val t = Pipeline.run(TranscriptSynth.turnsDs(s, KgTriplesCfg, partitions = 8))
+        .triples.toDF()
+      t.withColumn("inp", lit(true))
+        .join(goldenTriplesDf(s).withColumn("ing", lit(true)),
+          Seq("subj", "pred", "obj"), "full_outer")
+        .select(col("subj"), col("pred"), col("obj"),
+          coalesce(col("inp"), lit(false)).as("in_pipeline"),
+          coalesce(col("ing"), lit(false)).as("in_golden"))
     }),
     "q_kg_prototypes" -> ((s, _) => {
       val cfg = TranscriptSynth.Config(nConvs = 60, turnsPerConv = 8)
@@ -252,11 +289,32 @@ object SparkEntry {
         .prototypes.toDF().select(col("name"), col("etype"), col("n_members"))
     }),
     "q_kg_event_prototypes" -> ((s, _) => { // C8: event coreference output
-      val cfg = TranscriptSynth.Config(nConvs = 60, turnsPerConv = 8)
-      val r = Pipeline.run(TranscriptSynth.turnsDs(s, cfg, partitions = 8))
+      val r = Pipeline.run(TranscriptSynth.turnsDs(s, KgEventsCfg, partitions = 8))
       EventCoref.namedFrames(r.eventClusters, r.eventArgs, r.memberships, r.prototypes)
         .select(col("etype"), col("subj"), col("obj"), col("place"),
           col("participants"), col("n_members"))
+    }),
+    "q_kg_events_golden" -> ((s, _) => { // event twin of q_kg_triples_golden:
+      // full-outer verdict of pipeline event frames vs planted truth,
+      // null-safe on the optional place/participants key columns
+      val r = Pipeline.run(TranscriptSynth.turnsDs(s, KgEventsCfg, partitions = 8))
+      val frames = EventCoref
+        .namedFrames(r.eventClusters, r.eventArgs, r.memberships, r.prototypes)
+        .select(col("etype"), col("subj"), col("obj"), col("place"),
+          col("participants"), col("n_members")).as("t")
+      val g = goldenEventFramesDf(s).as("g")
+      frames.join(g,
+          col("t.etype") === col("g.etype") && col("t.subj") === col("g.subj") &&
+            col("t.obj") === col("g.obj") &&
+            (col("t.place") <=> col("g.place")) &&
+            (col("t.participants") <=> col("g.participants")), "full_outer")
+        .select(
+          coalesce(col("t.etype"), col("g.etype")).as("etype"),
+          coalesce(col("t.subj"), col("g.subj")).as("subj"),
+          coalesce(col("t.obj"), col("g.obj")).as("obj"),
+          coalesce(col("t.place"), col("g.place")).as("place"),
+          coalesce(col("t.participants"), col("g.participants")).as("participants"),
+          col("t.n_members").as("n_members"), col("g.golden_n").as("golden_n"))
     }),
     "q_kg_relation_clusters" -> ((s, _) => { // C6 wired into pipeline output
       val cfg = TranscriptSynth.Config(nConvs = 60, turnsPerConv = 8)
@@ -650,6 +708,34 @@ object SparkEntry {
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |         round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id) t
-        |WHERE sim >= 0.95""".stripMargin
+        |WHERE sim >= 0.95""".stripMargin,
+    // ---- pipeline parity rows. __GRAFT_OUT__ is substituted by Verify
+    // with the absolute dump directory: the oracle joins the
+    // deterministic q_kg_* pipeline dumps (written in the same Verify
+    // run) against the planted-truth golden parquet (also written by
+    // Verify from the enumerable pure functions in TranscriptSynth) —
+    // so the full pipeline output hash-matches in CORRECTNESS, not
+    // just in ScalaTest golden specs.
+    "q_kg_triples_golden" ->
+      """SELECT coalesce(t.subj, g.subj) AS subj,
+        |       coalesce(t.pred, g.pred) AS pred,
+        |       coalesce(t.obj, g.obj) AS obj,
+        |       t.subj IS NOT NULL AS in_pipeline,
+        |       g.subj IS NOT NULL AS in_golden
+        |FROM read_parquet('__GRAFT_OUT__/q_kg_triples/*.parquet') t
+        |FULL JOIN read_parquet('__GRAFT_OUT__/_golden_triples/*.parquet') g
+        |  ON t.subj = g.subj AND t.pred = g.pred AND t.obj = g.obj""".stripMargin,
+    "q_kg_events_golden" ->
+      """SELECT coalesce(t.etype, g.etype) AS etype,
+        |       coalesce(t.subj, g.subj) AS subj,
+        |       coalesce(t.obj, g.obj) AS obj,
+        |       coalesce(t.place, g.place) AS place,
+        |       coalesce(t.participants, g.participants) AS participants,
+        |       t.n_members AS n_members, g.golden_n AS golden_n
+        |FROM read_parquet('__GRAFT_OUT__/q_kg_event_prototypes/*.parquet') t
+        |FULL JOIN read_parquet('__GRAFT_OUT__/_golden_event_frames/*.parquet') g
+        |  ON t.etype = g.etype AND t.subj = g.subj AND t.obj = g.obj
+        | AND t.place IS NOT DISTINCT FROM g.place
+        | AND t.participants IS NOT DISTINCT FROM g.participants""".stripMargin
   )
 }

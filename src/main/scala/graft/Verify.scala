@@ -28,6 +28,17 @@ object Verify {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // golden-truth parquet next to the dumps: the planted triple/frame
+    // sets are enumerable pure functions of the synth config, and the
+    // q_kg_*_golden oracle SQL full-joins the pipeline dumps against
+    // these files — pipeline parity as a driver-checked hash row
+    if (only.isEmpty ||
+        only.exists(s => s.contains("q_kg_triples_golden") || s.contains("q_kg_events_golden"))) {
+      SparkEntry.goldenTriplesDf(spark).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_golden_triples")
+      SparkEntry.goldenEventFramesDf(spark).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_golden_event_frames")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -40,8 +51,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the golden oracle SQL reads parquet by ABSOLUTE path (DuckDB's
+    // cwd at oracle time is not ours)
+    val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_OUT__", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -120,9 +120,12 @@ object EventCoref {
         max(when(col("role") === "Subject", col("arg_name"))).as("subj"),
         max(when(col("role") === "Object", col("arg_name"))).as("obj"),
         max(when(col("role") === "Place", col("arg_name"))).as("place"),
-        nullif(array_join(array_sort(collect_list(
+        // array_distinct: two DISTINCT arg clusters can resolve to the
+        // SAME prototype name (the reference's per-type entity lists
+        // are name-level) — without it "A, A" leaks into the frame key
+        nullif(array_join(array_distinct(array_sort(collect_list(
           when(col("role") === "Participant" && col("rn") <= maxParticipants,
-            col("arg_name")))), ", "), lit("")).as("participants"))
+            col("arg_name"))))), ", "), lit("")).as("participants"))
     keyed.select(col("event_id"), col("cluster_id"), col("etype"))
       .join(argNames, "event_id")
       .groupBy(col("cluster_id"), col("etype"),

@@ -3,7 +3,7 @@ package graft.canon
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-import graft.schema.{Membership, Statement}
+import graft.schema.{Membership, Statement, SuperEdge}
 
 /**
  * Deterministic relation clustering — the reference's
@@ -34,40 +34,71 @@ object RelationClusters {
     * class); the reference's `.jl` line format needs the array only at
     * the sink — see [[graft.sources.SideFormats.writeRelationsJl]].
     *
-    * `n_members` is TWO-PHASE: a `groupBy(rel_key).count()` (true
-    * partial aggregation — a hot rel_key is absorbed map-side into one
-    * partial per task) joined back on rel_key, NOT a window count
-    * (which would shuffle and sort every member row of the hot cluster
-    * into a single window task). The join-back is merge-hinted like
-    * every other cluster-scale join here: its count side is one row
-    * per relation cluster — corpus-growing, and size ESTIMATES on
-    * checkpoint-descended frames undercount, so letting Catalyst
-    * broadcast it is an OOM at contract scale; the sort-merge join
-    * stays AQE skew-split-able (windows get no such skew handling). */
+    * `n_members` is a TWO-PHASE count joined back per row, NOT a
+    * window count (which would shuffle and sort every member row of
+    * the hot cluster into a single window task). The join-back is
+    * merge-hinted like every other cluster-scale join here: its count
+    * side is one row per relation cluster — corpus-growing, and size
+    * ESTIMATES on checkpoint-descended frames undercount, so letting
+    * Catalyst broadcast it is an OOM at contract scale; the sort-merge
+    * join stays AQE skew-split-able (windows get no such skew
+    * handling).
+    *
+    * TWO FORMS. The pipeline form takes the already-materialized
+    * SuperEdge aggregate: its per-(subj_cluster, pred, obj_cluster)
+    * `cnt` IS n_members (rel_key is a tagged injective encoding of
+    * exactly that key), so the statements⋈memberships⋈memberships
+    * subtree runs ONCE — the count side is a cheap scan of a stage
+    * that exists anyway. The standalone form derives the counts by
+    * re-aggregating `keyed`, which would plan the corpus-scale joins
+    * twice — so it eagerly localCheckpoints `keyed` first (single
+    * execution; the pinned blocks ride the returned frame's plan and
+    * are released by the owner via [[graft.util.Blocks]], e.g.
+    * Pipeline.Result.unpersist or SnapshotStore's post-write release). */
+  def cluster(statements: Dataset[Statement], memberships: Dataset[Membership],
+      superEdges: Dataset[SuperEdge]): DataFrame =
+    attachCounts(keyedStatements(statements, memberships),
+      superEdges.toDF().select(col("subj_proto").as("subj_cluster"),
+        col("pred"), col("obj_proto").as("obj_cluster"),
+        col("cnt").as("n_members")))
+
+  /** Standalone form (no superedge stage available): `keyed` is
+    * eagerly materialized so its two corpus-scale joins execute once
+    * for both the count pass and the member rows. */
   def cluster(statements: Dataset[Statement],
+      memberships: Dataset[Membership]): DataFrame = {
+    val keyed = keyedStatements(statements, memberships).localCheckpoint(true)
+    attachCounts(keyed,
+      keyed.groupBy(col("pred"), col("subj_cluster"), col("obj_cluster"))
+        .agg(count(lit(1)).as("n_members")))
+  }
+
+  /** Statements with their argument clusters resolved and the
+    * canonical sorted-link-set group key attached (lazy). */
+  private[graft] def keyedStatements(statements: Dataset[Statement],
       memberships: Dataset[Membership]): DataFrame = {
     val m = memberships.toDF()
     // merge hints: corpus-scale ⋈ corpus-scale on unique mention ids —
     // never broadcastable (see [[graft.superedge.SuperEdges]]; the
     // checkpoint stats undercount and Catalyst would broadcast)
-    val withClusters = statements.toDF()
+    statements.toDF()
       .join(m.select(col("member_id").as("subj"), col("cluster_id").as("subj_cluster"))
         .hint("merge"), "subj")
       .join(m.select(col("member_id").as("obj"), col("cluster_id").as("obj_cluster"))
         .hint("merge"), "obj")
-    val keyed = withClusters.withColumn("rel_key",
-      concat_ws("|", col("pred"),
-        array_join(array_sort(array(
-          concat(lit("subj:"), col("subj_cluster")),
-          concat(lit("obj:"), col("obj_cluster")))), ",")))
-    val counts = keyed.groupBy(col("rel_key"))
-      .agg(count(lit(1)).as("n_members"))
+      .withColumn("rel_key",
+        concat_ws("|", col("pred"),
+          array_join(array_sort(array(
+            concat(lit("subj:"), col("subj_cluster")),
+            concat(lit("obj:"), col("obj_cluster")))), ",")))
+  }
+
+  private def attachCounts(keyed: DataFrame, counts: DataFrame): DataFrame =
     keyed
-      .join(counts.hint("merge"), "rel_key")
+      .join(counts.hint("merge"), Seq("pred", "subj_cluster", "obj_cluster"))
       .withColumn("relation_cluster_id", concat(lit("rc:"), md5(col("rel_key"))))
       .select(col("relation_cluster_id"), col("rel_key"),
         col("stmt_id"), col("n_members"))
-  }
 
   /** Per-cluster summary (one row per relation cluster, no member
     * arrays) — the reporting shape. */

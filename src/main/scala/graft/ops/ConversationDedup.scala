@@ -49,9 +49,21 @@ object ConversationDedup {
     val g = docs.agg(count(lit(1)), countDistinct(col("doc_id"))).head()
     require(g.getLong(0) == g.getLong(1),
       s"conv_id hash collision: ${g.getLong(0)} conversations, ${g.getLong(1)} distinct doc ids")
-    Dedup.nearDupClusters(docs.select(col("doc_id"), col("text")), jaccardThreshold)
+    val lazyVerdicts = Dedup.nearDupClusters(
+        docs.select(col("doc_id"), col("text")), jaccardThreshold)
       .join(docs.select(col("doc_id"), col("conv_id")).hint("merge"), "doc_id")
       .select(col("conv_id"), col("doc_id"), col("canon_id"), col("is_dup"))
+    // materialize the (tiny: 4 narrow columns × conv count) verdict,
+    // then release EVERY block the dedup stack pinned — the
+    // full-corpus-TEXT concat (`docs`) plus the signature/CC
+    // checkpoints inside nearDupClusters, all reachable as leaves of
+    // the pre-checkpoint plan. Repeated library calls otherwise
+    // accumulate pinned conversation-concat blocks for the session.
+    // Callers done with the verdict release it via graft.util.Blocks
+    // (the snapshot layer does so automatically after a stage write).
+    val verdicts = lazyVerdicts.localCheckpoint(true)
+    graft.util.Blocks.releaseAll(Seq(lazyVerdicts, docs))
+    verdicts
   }
 
   /** The turns of canonical conversations only (ready for extraction),

@@ -135,10 +135,16 @@ object Dedup {
       k: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 2): DataFrame = {
     val cand = minHashCandidates(minHashSignatures(docs, k, numHashes),
       rowsPerBand, numHashes)
-    val verified = ngramJaccard(docs, cand)
+    val verified = ngramJaccard(docs, cand, minJaccard = jaccardThreshold)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val comp = graft.cc.ConnectedComponents.run(verified)
+    // CC materialized the verified pairs — the banded-join signature
+    // checkpoint inside minHashCandidates is dead now and is NOT a leaf
+    // of the returned plan (CC truncated it), so release it here or it
+    // leaks for the session (same pattern as Pipeline's edge release).
+    // `docs` leaves stay: the caller's frame feeds the join-back below.
+    graft.util.Blocks.releaseExcept(verified, Seq(docs))
     docs.select(col("doc_id"))
       .join(comp.withColumnRenamed("sid", "doc_id").hint("merge"), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
@@ -147,10 +153,41 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for (doc_a, doc_b) candidate
-    * pairs — the verification stage after LSH blocking. */
-  def ngramJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 5): DataFrame = {
+    * pairs — the verification stage after LSH blocking.
+    *
+    * With `minJaccard > 0`, pairs that CANNOT reach the threshold are
+    * rejected by a sound size bound BEFORE any shingle array is
+    * materialized into a join row: j(A,B) ≥ τ ⇒ |A| ≥ |A∩B| ≥ τ|A∪B| ≥
+    * τ|B| (and symmetrically), so `min(|A|,|B|) ≥ τ·max(|A|,|B|)` is
+    * necessary. The prefilter joins the pairs against a NARROW
+    * (doc_id, distinct-shingle-count) projection — 16 bytes/row through
+    * the shuffle instead of ~5× the text bytes — and only the survivors
+    * ever carry the wide char-k shingle arrays (O(text) per row: the
+    * width that dominates the verify join at book-length-document
+    * scale). Pairs dropped by the bound are NOT in the output (their
+    * jaccard is provably < minJaccard); with the default
+    * `minJaccard = 0` every candidate pair is scored, bit-identically
+    * to the unfiltered formulation (OpsSpec pins equality). */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 5,
+      minJaccard: Double = 0.0): DataFrame = {
     val shingled = docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
-    pairs
+    val pre =
+      if (minJaccard <= 0.0) pairs
+      else {
+        // distinct-count projection: the shingle array is transient
+        // inside this codegen stage — only (doc_id, n_sh) is emitted
+        val counts = docs.select(col("doc_id"),
+          size(shingles(col("text"), k)).as("n_sh"))
+        pairs
+          .join(counts.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("n_sh", "n_a").hint("merge"), "doc_a")
+          .join(counts.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("n_sh", "n_b").hint("merge"), "doc_b")
+          .filter(least(col("n_a"), col("n_b")).cast("double") >=
+            lit(minJaccard) * greatest(col("n_a"), col("n_b")))
+          .select(col("doc_a"), col("doc_b"))
+      }
+    pre
       .join(shingled.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a").hint("merge"), "doc_a")
       .join(shingled.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b").hint("merge"), "doc_b")
       .select(col("doc_a"), col("doc_b"),

@@ -380,10 +380,27 @@ object Multimodal {
   }
 
   /** Frame-sampling plumbing for video: one row per sampled frame
-    * index (stride sampling), ready for a per-frame decode. */
-  def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =
+    * time, ready for a per-frame decode. Payloads that parse as a real
+    * container (MP4 stss⋈stts sync samples, Matroska CueTimes — see
+    * [[Containers]]) emit THEIR OWN keyframe timestamps; everything
+    * else (raw/unparseable payloads, containers without sample tables)
+    * falls back to stride sampling over the metadata `duration_ms`.
+    * flatMap, not Column explode: the container walk is a JVM kernel
+    * either way, and per-row failure falls through to the stride path
+    * rather than killing the job (fail.log semantics). */
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
     media.filter(col("modality") === "video")
-      .withColumn("frame_ms",
-        explode(sequence(lit(0L), greatest(col("duration_ms") - 1, lit(0L)), lit(everyMs))))
-      .select(col("media_id"), col("frame_ms"), col("payload"))
+      .select(col("media_id"), col("payload"), col("duration_ms"))
+      .as[(String, Array[Byte], Long)]
+      .flatMap { case (id, payload, durMs) =>
+        val meta = Containers.probe(id, payload)
+        val times: Seq[Long] =
+          if (meta.ok && meta.keyframes_ms.nonEmpty) meta.keyframes_ms
+          else 0L to math.max(durMs - 1, 0L) by everyMs
+        times.map(t => (id, t, payload))
+      }
+      .toDF("media_id", "frame_ms", "payload")
+  }
 }

@@ -265,19 +265,28 @@ object Similarity {
     *
     * Scale shape: the banded self-join runs over a SLIM exploded
     * (vec_id, band, bucket) table of longs — embeddings are joined
-    * back only for the (candidate-sized) verification stage. At
-    * corpus scale raise `nBits` ≈ log2(n / targetBucketSize): per-band
-    * candidate cost is Σ_bucket |bucket|², so bucket population, not
-    * n, bounds the quadratic term. */
+    * back only for the (candidate-sized) verification stage. Per-band
+    * candidate cost is Σ_bucket |bucket|², so bucket POPULATION, not
+    * n, bounds the quadratic term — which is why `nBits` defaults to
+    * AUTO (`nBits = 0`): one cheap `count()` sizes it as
+    * log2(n / targetBucketSize) clamped to [8, 24], so a caller
+    * feeding 10⁹ vectors without reading this doc gets ~22-bit buckets
+    * (≈256 rows each) instead of 8-bit buckets holding 4M rows apiece
+    * (an accidental all-pairs). Pass an explicit `nBits` to skip the
+    * count action. More bits per band lowers per-band collision
+    * probability; recall is restored by the band count and
+    * multi-probing, and the planted-dup miss bound in the oracle holds
+    * at any nBits ≥ 8 (p^nBits terms only sharpen the S-curve). */
   def cosinePairs(embeddings: DataFrame, threshold: Double = 0.95,
-      nBits: Int = 8, nBands: Int = 6, probeHamming: Int = 1,
+      nBits: Int = 0, nBands: Int = 6, probeHamming: Int = 1,
       seed: Int = 42): DataFrame = {
+    val bits = if (nBits > 0) nBits else autoBits(embeddings.count())
     // one kernel eval per (vector, band): the compact projection with
     // every band's bucket id is checkpointed once; both join sides and
     // the verify stage scan the materialized longs, never the kernels
     val b = embeddings.select(col("vec_id"), col("embedding"),
         array((0 until nBands).map(bd =>
-          call_function("graft_lsh_bucket", col("embedding"), lit(nBits),
+          call_function("graft_lsh_bucket", col("embedding"), lit(bits),
             lit(seed + bd * 7919))): _*).as("buckets"))
       .localCheckpoint(true)
     val slim = b.select(col("vec_id"),
@@ -287,7 +296,7 @@ object Similarity {
     // a's bucket by every ≤h mask covers exactly that set
     def flips(base: Long, fromBit: Int, left: Int): Seq[Long] =
       if (left == 0) Seq(base)
-      else (fromBit until nBits).flatMap(bit =>
+      else (fromBit until bits).flatMap(bit =>
         flips(base ^ (1L << bit), bit + 1, left - 1))
     val masks = (0 to probeHamming).flatMap(h => flips(0L, 0, h)).distinct
     val probed = slim.select(col("vec_id"), col("band"),
@@ -305,6 +314,17 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("emb_a"), col("emb_b")), 6).as("sim"))
       .filter(col("sim") >= threshold)
+  }
+
+  /** Auto-sized hyperplane-bucket width for [[cosinePairs]]:
+    * log2(n / targetBucketSize) clamped to [8, 24] — ≈256-row buckets
+    * at any corpus size, so the per-band Σ|bucket|² candidate term
+    * stays linear-ish in n instead of quadratic in an under-split
+    * bucket population. */
+  private[graft] def autoBits(n: Long, targetBucketSize: Long = 256L): Int = {
+    val raw = math.ceil(
+      math.log(math.max(n, 1L).toDouble / targetBucketSize) / math.log(2.0)).toInt
+    math.min(24, math.max(8, raw))
   }
 
   /** Exact brute-force all-pairs cosine ≥ τ (oracle-checkable variant;

@@ -158,9 +158,49 @@ class SnapshotStore(val root: String) {
     read(spark, stage)
       .filter(_ => currentFingerprint(stage).contains(fingerprint))
       .getOrElse {
-        write(stage, compute, fingerprint)
+        val df = compute
+        write(stage, df, fingerprint)
+        // the builder frame is DEAD after the write (all consumers read
+        // the parquet snapshot back) — release any localCheckpoint
+        // blocks its plan pinned, or a long session running many stages
+        // accumulates them (Dataset GC alone never frees them; see
+        // graft.util.Blocks). Builders must not return frames sharing
+        // checkpoints with still-live external frames — stage inputs
+        // here are snapshot re-reads, so none do.
+        graft.util.Blocks.release(df)
         read(spark, stage).get
       }
+
+  /** Every snapshot id of a stage, ascending (manifest lineage). */
+  def snapshots(stage: String): Seq[Long] =
+    readManifest()
+      .filter(_.contains(s""""stage":"${esc(stage)}""""))
+      .flatMap { e =>
+        val k = e.indexOf("\"snapshot\":")
+        if (k < 0) None
+        else Some(e.substring(k + 11).takeWhile(_.isDigit).toLong)
+      }
+      .sorted
+
+  /** Iceberg-APPEND semantics: the new snapshot dir holds ONLY `df`
+    * (the delta), the manifest entry chains to the parent as usual,
+    * and [[readAll]] unions the chain — so appending a micro-batch
+    * costs O(delta), never O(accumulated). A stage is either
+    * append-mode (read with [[readAll]]) or replace-mode (read with
+    * [[read]]); mixing the two on one stage name is a caller bug
+    * (readAll would union superseded full snapshots). */
+  def append(stage: String, df: DataFrame, fingerprint: String = ""): Long =
+    write(stage, df, fingerprint)
+
+  /** Union of EVERY snapshot of an append-mode stage, oldest first.
+    * None if the stage was never appended to. */
+  def readAll(spark: SparkSession, stage: String): Option[DataFrame] = {
+    val dirs = snapshots(stage)
+      .map(id => s"$root/$stage/snap-$id")
+      .filter(d => Files.exists(Paths.get(d)))
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*).drop("_pid"))
+  }
 
   /** All manifest entries (raw JSON) — metrics/lineage introspection. */
   def manifestEntries(): Seq[String] = readManifest()

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.Main
+import graft.link.Linker
+import graft.schema.Turn
+import graft.snapshot.SnapshotStore
+
+/**
+ * Streaming INCREMENTAL KG maintenance — the upgrade of the
+ * reference's cron-re-run semantics (update_kg/update_kg.py:17-35
+ * re-runs a step range over the whole corpus) to true incremental
+ * processing: transcripts land as a stream, and each micro-batch
+ *
+ *  1. runs EXTRACTION on the new turns only — the data-dominant
+ *     stage (SURVEY §7: ~90% of pipeline bytes touched) is strictly
+ *     O(delta) per batch;
+ *  2. APPENDS the batch's tagged KE rows to an `ke_log` append-mode
+ *     snapshot chain ([[SnapshotStore.append]] — Iceberg append:
+ *     delta files + manifest lineage, O(delta) write);
+ *  3. rebuilds the cluster layer (surfaces → CC → memberships →
+ *     prototypes → superedges → triples → event/relation/
+ *     justification outputs) over the ACCUMULATED compact KE rows via
+ *     the SAME [[Main.kgStages]] the batch CLI runs, snapshotting
+ *     every stage with a fingerprint keyed to the log head.
+ *
+ * Clustering is a global fixpoint (a new mention can merge two old
+ * clusters), so the cluster layer recomputes over the accumulated KE
+ * rows — which are ~100× smaller than the transcripts themselves; the
+ * expensive raw-text pass never re-runs. The fingerprint contract
+ * gives idempotence: a re-delivered micro-batch (foreachBatch is
+ * at-least-once after a restart) is detected by its `batch=<id>`
+ * fingerprint on the log head and skipped, and a batch that appended
+ * but crashed mid-rebuild resumes cleanly — the downstream stages'
+ * fingerprints embed the log-head snapshot id, so unchanged stages
+ * resume and stale ones recompute ([[SnapshotStore.getOrCreate]]).
+ *
+ * StreamingSpec proves the contract: two micro-batches ≡ one batch
+ * run's KG on the union corpus (triples and memberships identical —
+ * all ids are content-derived, so equality is exact).
+ */
+object IncrementalKg {
+
+  /** The foreachBatch writer maintaining the KG snapshots at `store`.
+    * Call `.start()` (optionally after `.option("checkpointLocation",
+    * …)` for restart recovery) and the KG under `store.root` stays
+    * current with the stream. */
+  def maintain(turns: Dataset[Turn], store: SnapshotStore,
+      linkCfg: Linker.Config = Linker.Config(),
+      inputId: String = "stream"): DataStreamWriter[Turn] = {
+    val baseFp = s"input=$inputId|threshold=${linkCfg.threshold}" +
+      s"|maxBlock=${linkCfg.maxBlock}|minTokenLen=${linkCfg.minTokenLen}"
+    turns.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
+        val spark = batch.sparkSession
+        val batchFp = s"$baseFp|batch=$batchId"
+        // at-least-once → exactly-once append: a re-delivered batch id
+        // is already the log head's fingerprint — don't append twice
+        if (!store.currentFingerprint("ke_log").contains(batchFp))
+          store.append("ke_log", Main.extractKe(batch), batchFp)
+        val ke = store.readAll(spark, "ke_log")
+          .getOrElse(sys.error("ke_log append did not materialize"))
+        // downstream fingerprints key to the LOG HEAD: a new batch
+        // advances the head → every cluster stage recomputes over the
+        // accumulated KEs; an idempotent re-fire leaves the head
+        // unchanged → every stage resumes from its snapshot
+        val fp = s"$baseFp|ke_log=${store.current("ke_log").getOrElse(0L)}"
+        Main.kgStages(spark, ke, store, fp, linkCfg)
+        ()
+      }
+  }
+}

@@ -78,23 +78,28 @@ object StreamingExtract {
   /** Streaming EXACT dedup over incoming conversation turns, the
     * ingest-time face of [[graft.ops.Dedup.exact]]: only the FIRST
     * turn per normalized-text fingerprint survives (Structured
-    * Streaming's built-in `dropDuplicates` — keyed state in the state
-    * store, no custom state code). The watermark bounds the store:
-    * fingerprints older than `watermark` of event time are evicted, so
-    * a re-ingest later than that re-emits — the standard bounded-state
-    * trade (same contract as windowed aggs), made explicit here
-    * because an UNBOUNDED fingerprint store at 10^12 turns is the real
-    * alternative. Append mode; works identically on batch frames
-    * (where dropDuplicates is global and exact). */
+    * Streaming's built-in within-watermark dedup — keyed state in the
+    * state store, no custom state code). The watermark ACTUALLY bounds
+    * the store here: `dropDuplicatesWithinWatermark` evicts fingerprint
+    * state once the watermark passes it (plain `dropDuplicates("fp")`
+    * would ignore the watermark for eviction because the event-time
+    * column is not part of the dedup key, and the store would grow
+    * without bound — the 10^12-turn hazard). The trade is explicit:
+    * a re-ingest arriving later than `watermark` of event time
+    * re-emits — the standard bounded-state contract (same as windowed
+    * aggs). Append mode. Batch frames take the plain global
+    * `dropDuplicates` branch (exact, no state store — Spark rejects
+    * the within-watermark form outside streaming). */
   def dedupTurns(turns: Dataset[Turn], watermark: String = "24 hours"): Dataset[Turn] = {
     val spark = turns.sparkSession
     import spark.implicits._
-    turns.toDF()
+    val fp = turns.toDF()
       .withColumn("fp", xxhash64(regexp_replace(lower(col("text")), "\\s+", " ")))
-      .withWatermark("ts", watermark)
-      .dropDuplicates("fp")
-      .drop("fp")
-      .as[Turn]
+    val deduped =
+      if (turns.isStreaming)
+        fp.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("fp")
+      else fp.dropDuplicates("fp")
+    deduped.drop("fp").as[Turn]
   }
 
   /** The OutputMode each shape needs — kept next to the operators so

@@ -36,4 +36,12 @@ object Blocks {
   /** Release every distinct pinned RDD across a set of frames once. */
   def releaseAll(dfs: Seq[DataFrame]): Unit =
     dfs.flatMap(pinned).distinctBy(_.id).foreach(_.unpersist(blocking = false))
+
+  /** Release `df`'s pinned blocks EXCEPT those also reachable from
+    * `keep` — for dropping a dead intermediate whose plan shares
+    * checkpoint leaves with still-live frames. */
+  def releaseExcept(df: DataFrame, keep: Seq[DataFrame]): Unit = {
+    val live = keep.flatMap(pinned).map(_.id).toSet
+    pinned(df).filterNot(r => live(r.id)).foreach(_.unpersist(blocking = false))
+  }
 }

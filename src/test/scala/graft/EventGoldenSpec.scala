@@ -61,4 +61,30 @@ class EventGoldenSpec extends AnyFunSuite {
     // n_members totals match the event mention count
     assert(protos.map(_.n_members).sum == r.events.count())
   }
+
+  test("participant lists dedup names: two arg clusters with one prototype name") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // two DISTINCT Participant arg clusters (cX, cY) whose prototypes
+    // carry the SAME canonical name — the frame must read "Alex", not
+    // "Alex, Alex" (the reference's per-type entity lists are
+    // name-level)
+    val keyed = Seq(("e1", "Meet", "ev1")).toDF("event_id", "etype", "cluster_id")
+    val args = Seq(
+      graft.schema.EventArg("e1", "Participant", "a1"),
+      graft.schema.EventArg("e1", "Participant", "a2"),
+      graft.schema.EventArg("e1", "Subject", "a3")).toDS().toDF()
+    val ms = Seq(
+      graft.schema.Membership("cX", "a1", 1.0),
+      graft.schema.Membership("cY", "a2", 1.0),
+      graft.schema.Membership("cS", "a3", 1.0)).toDS()
+    val protos = Seq(
+      graft.schema.Prototype("pX", "cX", "entity", "Alex", "Person", null, 1L),
+      graft.schema.Prototype("pY", "cY", "entity", "Alex", "Person", null, 1L),
+      graft.schema.Prototype("pS", "cS", "entity", "Sam", "Person", null, 1L)).toDS()
+    val rows = EventCoref.namedFrames(keyed, args, ms, protos).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("participants") == "Alex")
+    assert(rows.head.getAs[String]("subj") == "Sam")
+  }
 }

@@ -79,6 +79,18 @@ class JustificationsSpec extends AnyFunSuite {
       RelationClusters.cluster(stmts, ms)).collect()
     assert(summary.length == 3)
     assert(summary.map(_.getLong(2)).sorted.toSeq == Seq(1L, 1L, 2L))
+
+    // the superedge-count-reuse form (the pipeline path: n_members from
+    // the materialized superedge aggregate, no join-back re-execution)
+    // is row-identical to the standalone form
+    val se = graft.superedge.SuperEdges.superEdges(stmts, ms)
+    val viaSuper = RelationClusters.cluster(stmts, ms, se).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.toString)
+    val standalone = rows
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.toString)
+    assert(viaSuper.toSeq == standalone.toSeq)
   }
 
   test("prototype justification copy-backs carry every member span (proto_justi)") {

@@ -47,4 +47,21 @@ class LifecycleSpec extends AnyFunSuite {
     graft.util.Blocks.release(labels)
     assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
   }
+
+  test("conversationClusters pins only its (released afterwards) verdict frame") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val turns = graft.synth.TranscriptSynth.turnsDs(spark,
+      graft.synth.TranscriptSynth.Config(nConvs = 30, turnsPerConv = 6))
+    val verdicts = graft.ops.ConversationDedup.conversationClusters(turns)
+    assert(verdicts.count() == 30)
+    // the heavyweight conversation-TEXT concat blocks and the dedup
+    // stack's internal signature/CC checkpoints must already be gone;
+    // only the tiny verdict checkpoint itself may remain pinned
+    val pinned = sc.getPersistentRDDs.keySet -- before
+    assert(pinned.size <= 1,
+      s"conversationClusters leaked intermediate blocks: ids=${pinned.toSeq.sorted}")
+    graft.util.Blocks.release(verdicts)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
 }

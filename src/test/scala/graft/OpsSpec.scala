@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Containers, Dedup, Multimodal, Similarity, TextStats}
 
 class OpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -540,5 +540,134 @@ class OpsSpec extends AnyFunSuite {
     // frame sampling explodes video rows by duration
     val frames = Multimodal.sampleFrames(media.toDF())
     assert(frames.count() > media.filter(col("modality") === "video").count())
+  }
+
+  test("MP4 container walk: real sample tables drive duration/codec/keyframes") {
+    val mp4 = Containers.syntheticMp4(durationS = 4, fps = 10, keyEvery = 10)
+    val m = Containers.probe("v1", mp4)
+    assert(m.ok, s"parse failed: ${m.error}")
+    assert(m.container == "mp4")
+    assert(m.duration_ms == 4000L)
+    assert(m.n_tracks == 1 && m.track_types == Seq("vide") && m.codecs == Seq("avc1"))
+    // sync samples 1, 11, 21, 31 at 10 fps (delta 100ms) → 0/1000/2000/3000ms
+    assert(m.keyframes_ms == Seq(0L, 1000L, 2000L, 3000L))
+  }
+
+  test("Matroska/WebM EBML walk: Info duration, TrackEntries, CueTimes") {
+    val webm = Containers.syntheticWebm(durationMs = 4000L, cueEveryMs = 1000L)
+    val m = Containers.probe("v2", webm)
+    assert(m.ok, s"parse failed: ${m.error}")
+    assert(m.container == "matroska")
+    assert(m.duration_ms == 4000L)
+    assert(m.n_tracks == 2)
+    assert(m.track_types == Seq("video", "audio"))
+    assert(m.codecs == Seq("V_VP9", "A_OPUS"))
+    assert(m.keyframes_ms == Seq(0L, 1000L, 2000L, 3000L))
+  }
+
+  test("container probe captures truncated payloads PER ROW, never throws") {
+    import spark.implicits._
+    val mp4 = Containers.syntheticMp4()
+    val webm = Containers.syntheticWebm()
+    val rows = Seq(
+      ("good_mp4", mp4),
+      ("trunc_mp4", mp4.take(mp4.length / 2)),
+      ("good_webm", webm),
+      ("trunc_webm", webm.take(webm.length / 3)),
+      ("not_a_container", Array.tabulate[Byte](64)(_.toByte)))
+      .toDF("media_id", "payload")
+    val out = Containers.probeContainers(rows).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(out("good_mp4").ok && out("good_mp4").container == "mp4")
+    assert(out("good_webm").ok && out("good_webm").container == "matroska")
+    assert(!out("trunc_mp4").ok && out("trunc_mp4").error != null)
+    assert(!out("trunc_webm").ok && out("trunc_webm").error != null)
+    // unknown formats are not errors — they're just not containers
+    assert(out("not_a_container").ok && out("not_a_container").container == "none")
+  }
+
+  test("sampleFrames routes off REAL keyframe tables, stride only as fallback") {
+    import spark.implicits._
+    val mp4 = Containers.syntheticMp4(durationS = 4, fps = 10, keyEvery = 5)
+    val media = Seq(
+      // real container: duration_ms metadata is WRONG on purpose — the
+      // emitted times must come from the stss/stts tables, not stride
+      ("real", "video", mp4, 999999L),
+      // opaque payload: stride fallback over duration_ms
+      ("raw", "video", Array.tabulate[Byte](32)(_.toByte), 2500L),
+      ("img", "image", Array.tabulate[Byte](16)(_.toByte), 0L))
+      .toDF("media_id", "modality", "payload", "duration_ms")
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000L).collect()
+      .groupBy(_.getString(0)).map { case (k, v) => k -> v.map(_.getLong(1)).sorted.toSeq }
+    // keyEvery=5 at 10fps → syncs at samples 1,6,11,…,36 → 0,500,…,3500ms
+    assert(frames("real") == (0L until 4000L by 500L).toSeq)
+    assert(frames("raw") == Seq(0L, 1000L, 2000L))
+    assert(!frames.contains("img"))
+  }
+
+  test("ngramJaccard length prefilter: same verified pairs, sound bound only") {
+    import spark.implicits._
+    // ~130 chars so a one-word edit stays j ≈ 0.89 ≥ τ
+    val near = "the quick brown fox jumps over the lazy dog by the river while " +
+      "birds sing in the old oak trees near the quiet meadow this morning"
+    val d = docs(
+      1L -> near,
+      // near-dup of 1 (one word changed)
+      2L -> near.replace("dog", "cat"),
+      // DISTINCT long tail (repeating `near` would barely grow the
+      // distinct-shingle count): ~8× the shingles — bound rejects (1,3)
+      3L -> (near + " " + (0 until 100).map(i => s"tail${i}word").mkString(" ")),
+      // similar length to 1 but different content: passes the length
+      // bound, rejected only by the exact jaccard
+      4L -> ("completely different sentence content about spark catalyst " +
+        "optimizer internals and tungsten codegen shuffle partitions everywhere"))
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val tau = 0.8
+    def verifiedSet(j: org.apache.spark.sql.DataFrame) = j
+      .filter(col("jaccard") >= tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withPre = Dedup.ngramJaccard(d, pairs, minJaccard = tau)
+    val without = Dedup.ngramJaccard(d, pairs)
+    // the bound is SOUND: pairs ≥ τ survive identically…
+    assert(verifiedSet(withPre) == verifiedSet(without))
+    assert(verifiedSet(withPre).contains((1L, 2L)))
+    // …and it actually PRUNES: (1,3) fails min ≥ τ·max on shingle
+    // counts, so it never reaches the wide shingle join; (1,4) passes
+    // the length bound (similar lengths) and is rejected by the exact
+    // jaccard — both absent from the ≥τ output, but only one was scored
+    val scored = withPre.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!scored.contains((1L, 3L)), "length-bound pair leaked into the verify join")
+    assert(scored.contains((1L, 4L)), "prefilter over-pruned a bound-passing pair")
+  }
+
+  test("cosinePairs auto-nBits: sized from corpus count, recall unchanged at two sizes") {
+    import spark.implicits._
+    // the clamp: tiny corpora floor at 8 bits (the tested default), a
+    // 10^9-vector corpus gets ~22-bit buckets (~256 rows each), and the
+    // ceiling stops past 24 bits (bucket ids stay comfortably in Long)
+    assert(Similarity.autoBits(500L) == 8)
+    assert(Similarity.autoBits(1_000_000_000L) == 22)
+    assert(Similarity.autoBits(Long.MaxValue) == 24)
+    // recall vs exact truth at two corpus sizes under AUTO sizing (the
+    // planted construction of the q_cosine_pairs_lsh oracle)
+    for (n <- Seq(40, 120)) {
+      val rnd = new scala.util.Random(11)
+      val base = (0 until n)
+        .map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian())))
+        .toDF("vec_id", "embedding")
+      val dup = base
+        .select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x * (lit(1.0) + ((col("vec_id") * 64 + i) % 7 - 3).cast("double") / lit(64.0)))
+            .as("embedding"))
+        .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+      val all = base.unionByName(dup)
+      val blocked = Similarity.cosinePairs(all, 0.95).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Similarity.cosinePairsExact(all, 0.95).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.size == n, s"planting broke at n=$n: ${exact.size} true pairs")
+      assert(blocked == exact, s"auto-nBits recall drift at n=$n")
+    }
   }
 }

@@ -166,6 +166,11 @@ class PlanSpec extends AnyFunSuite {
     for ((name, df) <- Seq(
         "superEdges" -> graft.superedge.SuperEdges.superEdges(st, ms).toDF(),
         "relationClusters" -> graft.canon.RelationClusters.cluster(st, ms),
+        // the pipeline form is fully LAZY (statements⋈memberships² +
+        // the superedge-count join-back all live in ONE plan) — the
+        // no-broadcast doctrine must hold across all of them
+        "relationClustersViaSuperedges" -> graft.canon.RelationClusters.cluster(
+          st, ms, graft.superedge.SuperEdges.superEdges(st, ms)),
         "superEdgeJustifications" ->
           graft.canon.Justifications.superEdgeJustifications(st, ms),
         "annotatedMembers" ->

@@ -76,6 +76,80 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup state is EVICTED past the watermark (bounded store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Turn]
+    val q = StreamingExtract.dedupTurns(src.toDS(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("stream_dedup_evict")
+      .outputMode("append").start()
+    try {
+      src.addData(turn("c1", 0, "John Smith met Maria Garcia.", 100))
+      q.processAllAvailable()
+      // advance the watermark far past ts=100 + 1h: c1's fingerprint
+      // state must be dropped from the store (the bounded-state
+      // contract — with plain dropDuplicates("fp") this state would
+      // live forever and this re-ingest would be silently deduped)
+      src.addData(turn("c2", 0, "Totally unrelated filler text.", 20000))
+      q.processAllAvailable()
+      src.addData(turn("c3", 0, "John Smith met Maria Garcia.", 20010))
+      q.processAllAvailable()
+      val out = spark.table("stream_dedup_evict").collect().map(_.getString(0)).toSet
+      assert(out == Set("c1", "c2", "c3"),
+        s"expected the past-watermark re-ingest to RE-EMIT (state evicted); got $out")
+    } finally q.stop()
+  }
+
+  test("dedupTurns on a batch frame takes the exact global-dedup branch") {
+    import spark.implicits._
+    val batch = Seq(
+      turn("c1", 0, "John Smith met Maria Garcia.", 100),
+      turn("c2", 0, "john  smith met   maria garcia.", 99999), // ws/case dup, ANY ts
+      turn("c3", 0, "Ivan Petrov visited Tokyo.", 120)).toDS()
+    val out = StreamingExtract.dedupTurns(batch).collect().map(_.conv_id).toSet
+    assert(out.size == 2 && out.contains("c3"))
+  }
+
+  test("incremental KG maintenance: two micro-batches ≡ one batch run on the union") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("inckg").toString
+    val store = new graft.snapshot.SnapshotStore(root)
+    // one synthetic corpus, streamed as two disjoint conversation slices
+    val all = graft.synth.TranscriptSynth.turnsDs(spark,
+      graft.synth.TranscriptSynth.Config(nConvs = 40, turnsPerConv = 6)).collect()
+    val (b1, b2) = all.partition(_.conv_id < "conv00000020")
+    assert(b1.nonEmpty && b2.nonEmpty)
+    val src = MemoryStream[Turn]
+    val q = graft.streaming.IncrementalKg.maintain(src.toDS(), store).start()
+    try {
+      src.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      // after batch 1 the KG exists over slice 1 only
+      val t1 = store.read(spark, "triples").get.count()
+      assert(t1 > 0)
+      src.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // extraction log: exactly one DELTA snapshot per micro-batch
+    assert(store.snapshots("ke_log").size == 2)
+    // the maintained KG ≡ a clean batch run over the union corpus —
+    // ids are content-derived, so set equality is exact
+    val ref = Pipeline.run(spark.createDataset(all.toIndexedSeq))
+    val streamTriples = store.read(spark, "triples").get
+      .select("subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val batchTriples = ref.triples.collect()
+      .map(t => (t.subj, t.pred, t.obj)).toSet
+    assert(streamTriples == batchTriples,
+      s"missing=${(batchTriples -- streamTriples).take(3)} spurious=${(streamTriples -- batchTriples).take(3)}")
+    val streamMembers = store.read(spark, "memberships").get
+      .select("cluster_id", "member_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val batchMembers = ref.memberships.collect()
+      .map(m => (m.cluster_id, m.member_id)).toSet
+    assert(streamMembers == batchMembers)
+    ref.unpersist()
+  }
+
   test("per-conversation running state via mapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
