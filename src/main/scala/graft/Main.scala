@@ -40,6 +40,16 @@ object Main {
       val n = input.stripPrefix("synth:").toLong
       TranscriptSynth.turnsDs(spark,
         TranscriptSynth.Config(nConvs = (n / 10).toInt, turnsPerConv = 10))
+    } else if (input.startsWith("synthdup:")) {
+      // synth corpus + every 3rd conversation RE-INGESTED under a fresh
+      // id (the ResumeSpec planting at CLI scale): with --dedup on, the
+      // KG must come out identical to the clean `synth:` corpus
+      val n = input.stripPrefix("synthdup:").toLong
+      val base = TranscriptSynth.turnsDs(spark,
+        TranscriptSynth.Config(nConvs = (n / 10).toInt, turnsPerConv = 10))
+      base.unionByName(
+        base.filter(t => t.conv_id.drop(4).toLong % 3 == 0)
+          .map(t => t.copy(conv_id = t.conv_id + "-reingest")))
     } else spark.read.parquet(input).as[Turn]
   }
 

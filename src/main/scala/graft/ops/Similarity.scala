@@ -67,14 +67,18 @@ object Similarity {
       (0 to probeHamming).flatMap(h => flips(qBucket, 0, h)).distinct
     }
     val cand = bucketed.filter(col("bucket").isin(probes: _*))
-    if (cand.limit(k).count() < k) bruteForceTopK(embeddings, query, k)
-    else {
-      val q = array(query.map(v => lit(v.toDouble)): _*)
-      cand.select(col("vec_id"),
-          round(cosine(col("embedding"), q), 6).as("sim"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
-        .limit(k)
-    }
+    // ONE scan of the probed subset: the top-k itself is the underfill
+    // probe (k rows are driver-sized by contract) — the former
+    // limit(k).count() pre-check scanned the candidates twice
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val top = cand.select(col("vec_id"),
+        round(cosine(col("embedding"), q), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      .collect()
+    if (top.length < k) bruteForceTopK(embeddings, query, k)
+    else spark.createDataset(top.toIndexedSeq.map(r => (r.getLong(0), r.getDouble(1))))
+      .toDF("vec_id", "sim")
   }
 
   /** IVF (inverted-file) ANN index: a k-means coarse quantizer
@@ -133,15 +137,20 @@ object Similarity {
     val probes = centers.zipWithIndex.sortBy { case (c, _) => dist2(c) }
       .take(math.max(nprobe, 1)).map(_._2.toLong)
     val cand = assigned.filter(col("centroid").isin(probes: _*))
-    if (cand.limit(k).count() < k)
+    // single scan of the posting lists (see lshTopK): top-k doubles as
+    // the underfill check, k rows are driver-sized
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val top = cand.select(col("vec_id"),
+        round(cosine(col("embedding"), q), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      .collect()
+    if (top.length < k)
       bruteForceTopK(assigned.drop("centroid"), query, k)
-    else {
-      val q = array(query.map(v => lit(v.toDouble)): _*)
-      cand.select(col("vec_id"),
-          round(cosine(col("embedding"), q), 6).as("sim"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
-        .limit(k)
-    }
+    else spark.createDataset(top.toIndexedSeq.map(r => (r.getLong(0), r.getDouble(1))))
+      .toDF("vec_id", "sim")
   }
 
   /** BATCH IVF ANN: top-k for a whole TABLE of query vectors in one
