@@ -4,10 +4,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 
 /**
  * Pure-JVM media CONTAINER walks — the one real multimodal decode step
- * available without codec libraries: an MP4 (ISO BMFF) box walk and a
- * Matroska/WebM EBML walk that recover duration, track count, codec
- * identifiers, and KEYFRAME TIMESTAMPS from the container's own sample
- * tables (MP4 `stts`+`stss`, Matroska `Cues`) — no bitstream decoding
+ * available without codec libraries: an MP4 (ISO BMFF) box walk, a
+ * Matroska/WebM EBML walk, and MP3 / ADTS-AAC / FLAC elementary-stream
+ * header walks that recover duration, track count, codec identifiers,
+ * sample rate / channels, and KEYFRAME/SEEK TIMESTAMPS from the
+ * container's own tables (MP4 `stts`+`stss`, Matroska `Cues`, MPEG
+ * frame headers, FLAC STREAMINFO/SEEKTABLE) — no bitstream decoding
  * anywhere. This upgrades [[Multimodal.sampleFrames]] from stride
  * GUESSES to the container's real sync-sample times for payloads that
  * carry them (the reference's KeyFrameVideo/ShotVideo justifications
@@ -31,7 +33,9 @@ object Containers {
       codecs: Seq[String],      // stsd fourcc / EBML CodecID
       keyframes_ms: Seq[Long],
       ok: Boolean,
-      error: String)
+      error: String,
+      sample_rate: Long = 0L, // audio elementary streams (mp3/adts/flac)
+      channels: Int = 0)
 
   // ---------------------------------------------------------------- MP4
 
@@ -273,6 +277,181 @@ object Containers {
   final case class MkvMeta(durationMs: Long, trackTypes: Seq[String],
       codecs: Seq[String], keyframesMs: Seq[Long])
 
+  // ------------------------------------- audio elementary-stream walks
+  // MP3 / ADTS-AAC / FLAC carry their own framing: every MPEG audio /
+  // ADTS frame is headed by a self-describing sync header, and FLAC
+  // fronts a STREAMINFO (+optional SEEKTABLE) metadata block. Walking
+  // the headers recovers duration, sample rate, channel count, and
+  // real seek points WITHOUT any bitstream decoding — the exact analog
+  // of the MP4 stts/stss walk for the codecs whose decode has no JVM
+  // implementation (Multimodal keeps the decode stub; this makes their
+  // METADATA as real as WAV's).
+
+  /** Parsed audio elementary-stream metadata. `seekMs` are real frame
+    * boundaries (first frame at/after each whole second for MP3/ADTS;
+    * the SEEKTABLE's points for FLAC). */
+  final case class AudioMeta(codec: String, durationMs: Long,
+      sampleRate: Int, channels: Int, nFrames: Long, seekMs: Seq[Long])
+
+  def looksLikeFlac(b: Array[Byte]): Boolean =
+    b.length >= 8 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C'
+
+  /** ID3v2 tag ("ID3" + syncsafe size) or a bare MPEG-1/2/2.5 Layer
+    * I-III frame sync with valid version/layer/bitrate/samplerate bits
+    * — checked LAST in [[probe]] (the 11-bit sync is the loosest of
+    * the magics). */
+  def looksLikeMp3(b: Array[Byte]): Boolean =
+    (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+      (b.length >= 4 && validMp3Header(b, 0))
+
+  /** ADTS AAC: 12-bit sync + layer 00 + a valid sampling index. */
+  def looksLikeAdts(b: Array[Byte]): Boolean =
+    b.length >= 7 && (b(0) & 0xff) == 0xff && (b(1) & 0xf6) == 0xf0 &&
+      ((b(2) >> 2) & 0xf) < AdtsRates.length
+
+  // MPEG audio tables (ISO/IEC 11172-3 / 13818-3)
+  private val MpegRates = Array( // [versionBits][srIdx]
+    Array(11025, 12000, 8000),   // 0 = MPEG-2.5
+    Array(0, 0, 0),              // 1 = reserved
+    Array(22050, 24000, 16000),  // 2 = MPEG-2
+    Array(44100, 48000, 32000))  // 3 = MPEG-1
+  private val BitrateV1 = Array( // [layer 1..3][bitrateIdx 1..14] kbps
+    Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))
+  private val BitrateV2 = Array(
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+
+  private def validMp3Header(b: Array[Byte], o: Int): Boolean = {
+    if (o + 4 > b.length) return false
+    val h1 = b(o) & 0xff; val h2 = b(o + 1) & 0xff
+    val h3 = b(o + 2) & 0xff
+    h1 == 0xff && (h2 & 0xe0) == 0xe0 &&
+      ((h2 >> 3) & 3) != 1 &&          // version not reserved
+      ((h2 >> 1) & 3) != 0 &&          // layer not reserved
+      ((h3 >> 4) & 0xf) != 0 && ((h3 >> 4) & 0xf) != 15 && // bitrate defined
+      ((h3 >> 2) & 3) != 3             // samplerate defined
+  }
+
+  /** MP3 (MPEG audio) frame-header walk: skips a leading ID3v2 tag,
+    * then steps frame to frame via each header's own declared length
+    * (bitrate/samplerate/padding), summing samples-per-frame/rate for
+    * the REAL duration (VBR-correct — no bitrate×size estimate). A
+    * trailing 128-byte ID3v1 "TAG" is tolerated; any other mid-stream
+    * garbage throws (per-row failure capture upstream). */
+  def parseMp3(b: Array[Byte]): AudioMeta = {
+    var o = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      o = 10 + sz + (if ((b(5) & 0x10) != 0) 10 else 0) // + footer
+      require(o <= b.length, "ID3v2 size past payload")
+    }
+    var frames = 0L; var micros = 0.0
+    var rate = 0; var channels = 0
+    val seek = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var nextSeekMs = 0L
+    while (o + 4 <= b.length &&
+        !(b.length - o == 128 && b(o) == 'T' && b(o + 1) == 'A' && b(o + 2) == 'G')) {
+      require(validMp3Header(b, o), s"bad MPEG frame sync at $o")
+      val h2 = b(o + 1) & 0xff; val h3 = b(o + 2) & 0xff; val h4 = b(o + 3) & 0xff
+      val ver = (h2 >> 3) & 3           // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+      val layer = 4 - ((h2 >> 1) & 3)   // 1..3
+      val sr = MpegRates(ver)((h3 >> 2) & 3)
+      val kbps = (if (ver == 3) BitrateV1 else BitrateV2)(layer - 1)(((h3 >> 4) & 0xf) - 1)
+      val padding = (h3 >> 1) & 1
+      val spf = // samples per frame
+        if (layer == 1) 384
+        else if (layer == 2) 1152
+        else if (ver == 3) 1152 else 576
+      val len =
+        if (layer == 1) (12 * kbps * 1000 / sr + padding) * 4
+        else spf / 8 * kbps * 1000 / sr + padding
+      require(len > 4 && o + len <= b.length, s"truncated frame at $o (len $len)")
+      val ms = micros / 1000.0
+      if (ms >= nextSeekMs) { seek += ms.toLong; nextSeekMs = (ms.toLong / 1000L + 1L) * 1000L }
+      frames += 1; micros += spf * 1e6 / sr
+      rate = sr; channels = if (((h4 >> 6) & 3) == 3) 1 else 2
+      o += len
+    }
+    require(frames > 0, "no MPEG audio frames")
+    AudioMeta("mp3", (micros / 1000.0).toLong, rate, channels, frames, seek.toSeq)
+  }
+
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+  private val AdtsProfiles = Array("aac-main", "aac-lc", "aac-ssr", "aac-ltp")
+
+  /** ADTS (AAC) frame-header walk: 7/9-byte headers carry the profile,
+    * sampling index, channel config, and the frame's own byte length;
+    * every frame is 1024 PCM samples, so duration is exact. */
+  def parseAdts(b: Array[Byte]): AudioMeta = {
+    var o = 0
+    var frames = 0L; var micros = 0.0
+    var rate = 0; var channels = 0; var profile = "aac"
+    val seek = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var nextSeekMs = 0L
+    while (o + 7 <= b.length) {
+      require((b(o) & 0xff) == 0xff && (b(o + 1) & 0xf6) == 0xf0,
+        s"bad ADTS sync at $o")
+      val h3 = b(o + 2) & 0xff; val h4 = b(o + 3) & 0xff
+      val h5 = b(o + 4) & 0xff; val h6 = b(o + 5) & 0xff
+      val srIdx = (h3 >> 2) & 0xf
+      require(srIdx < AdtsRates.length, s"bad ADTS sampling index $srIdx")
+      val len = ((h4 & 3) << 11) | (h5 << 3) | ((h6 >> 5) & 7)
+      require(len >= 7 && o + len <= b.length, s"truncated ADTS frame at $o (len $len)")
+      rate = AdtsRates(srIdx)
+      channels = ((h3 & 1) << 2) | ((h4 >> 6) & 3)
+      profile = AdtsProfiles((h3 >> 6) & 3)
+      val ms = micros / 1000.0
+      if (ms >= nextSeekMs) { seek += ms.toLong; nextSeekMs = (ms.toLong / 1000L + 1L) * 1000L }
+      frames += 1; micros += 1024.0 * 1e6 / rate
+      o += len
+    }
+    require(frames > 0 && o == b.length, "no/truncated ADTS frames")
+    AudioMeta(profile, (micros / 1000.0).toLong, rate, channels, frames, seek.toSeq)
+  }
+
+  /** FLAC metadata walk: STREAMINFO (mandatory first block) gives
+    * sample rate / channels / total samples → exact duration; an
+    * optional SEEKTABLE contributes real seek points (sample number →
+    * ms). No frame decoding. */
+  def parseFlac(b: Array[Byte]): AudioMeta = {
+    require(looksLikeFlac(b), "not FLAC")
+    var o = 4
+    var rate = 0; var channels = 0; var total = 0L
+    val seekSamples = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var last = false
+    while (!last && o + 4 <= b.length) {
+      val h = b(o) & 0xff
+      last = (h & 0x80) != 0
+      val typ = h & 0x7f
+      val len = ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+      val f = o + 4
+      require(f + len <= b.length, s"truncated FLAC block type $typ")
+      if (typ == 0) { // STREAMINFO: sr(20) ch(3) bps(5) total(36) at byte 10
+        require(len >= 34, "short STREAMINFO")
+        rate = ((b(f + 10) & 0xff) << 12) | ((b(f + 11) & 0xff) << 4) | ((b(f + 12) & 0xff) >> 4)
+        channels = (((b(f + 12) & 0xff) >> 1) & 7) + 1
+        total = ((b(f + 13) & 0x0fL) << 32) | ((b(f + 14) & 0xffL) << 24) |
+          ((b(f + 15) & 0xffL) << 16) | ((b(f + 16) & 0xffL) << 8) | (b(f + 17) & 0xffL)
+      } else if (typ == 3) { // SEEKTABLE: 18-byte points
+        var p = f
+        while (p + 18 <= f + len) {
+          val sample = be64(b, p)
+          if (sample != -1L) seekSamples += sample // skip placeholders
+          p += 18
+        }
+      }
+      o = f + len
+    }
+    require(rate > 0, "no STREAMINFO")
+    AudioMeta("flac", total * 1000L / rate, rate, channels, total,
+      seekSamples.toSeq.map(s => s * 1000L / rate))
+  }
+
   // ------------------------------------------------------- Spark face
 
   /** Single-payload probe — the per-row kernel. */
@@ -289,12 +468,30 @@ object Containers {
         val m = parseMatroska(b)
         ContainerMeta(mediaId, "matroska", m.durationMs, m.trackTypes.length,
           m.trackTypes, m.codecs, m.keyframesMs.sorted, ok = true, null)
+      } else if (looksLikeFlac(b)) {
+        val m = parseFlac(b)
+        ContainerMeta(mediaId, "flac", m.durationMs, 1, Seq("soun"),
+          Seq(m.codec), m.seekMs.sorted, ok = true, null, m.sampleRate, m.channels)
+      } else if (looksLikeAdts(b)) {
+        // ADTS before MP3: its 12-bit sync also satisfies the looser
+        // 11-bit MPEG-audio sync, but layer==00 is reserved in MPEG audio
+        val m = parseAdts(b)
+        ContainerMeta(mediaId, "adts", m.durationMs, 1, Seq("soun"),
+          Seq(m.codec), m.seekMs.sorted, ok = true, null, m.sampleRate, m.channels)
+      } else if (looksLikeMp3(b)) {
+        val m = parseMp3(b)
+        ContainerMeta(mediaId, "mp3", m.durationMs, 1, Seq("soun"),
+          Seq(m.codec), m.seekMs.sorted, ok = true, null, m.sampleRate, m.channels)
       } else
         ContainerMeta(mediaId, "none", 0L, 0, Nil, Nil, Nil, ok = true, null)
     } catch {
       case e: Exception =>
-        val kind = if (payload != null && looksLikeMatroska(payload)) "matroska"
-                   else if (payload != null && looksLikeMp4(payload)) "mp4" else "none"
+        val p = if (payload == null) Array.emptyByteArray else payload
+        val kind = if (looksLikeMatroska(p)) "matroska"
+                   else if (looksLikeMp4(p)) "mp4"
+                   else if (looksLikeFlac(p)) "flac"
+                   else if (looksLikeAdts(p)) "adts"
+                   else if (looksLikeMp3(p)) "mp3" else "none"
         ContainerMeta(mediaId, kind, 0L, 0, Nil, Nil, Nil, ok = false,
           if (e.getMessage == null) e.getClass.getSimpleName else e.getMessage)
     }
@@ -392,5 +589,80 @@ object Containers {
         ebmlEl(CuePoint, ebmlEl(CueTime, ebmlUint(t, 4)))).toArray.flatten)
     val header = ebmlEl(EbmlHeader, Array.emptyByteArray)
     header ++ ebmlEl(Segment, info, tracks, cues)
+  }
+
+  /** Minimal valid MP3: ID3v2 tag + MPEG-1 Layer III frames at 44.1 kHz
+    * (header-true lengths, zeroed payload — the walk reads headers, not
+    * bitstreams) + trailing ID3v1 tag. `vbr` alternates 128/192 kbps so
+    * the duration must come from per-frame walking, not size/bitrate. */
+  def syntheticMp3(durationS: Int = 4, vbr: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    // ID3v2.3 tag, 32-byte body, no footer
+    out.write(Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 32))
+    out.write(new Array[Byte](32))
+    val nFrames = math.round(durationS * 44100.0 / 1152.0).toInt
+    for (i <- 0 until nFrames) {
+      val kbps = if (vbr && i % 2 == 1) 192 else 128
+      val idx = if (kbps == 128) 9 else 11 // MPEG1 L3 bitrate indices
+      val len = 144 * kbps * 1000 / 44100  // no padding
+      // 0xFF 0xFB: sync + MPEG1 + Layer3 + no CRC; sr idx 0 (44100),
+      // no padding; channel mode joint stereo (01)
+      out.write(Array[Byte](0xff.toByte, 0xfb.toByte,
+        ((idx << 4) | 0x00).toByte, 0x40.toByte))
+      out.write(new Array[Byte](len - 4))
+    }
+    out.write('T'); out.write('A'); out.write('G')
+    out.write(new Array[Byte](125)) // ID3v1 is exactly 128 bytes
+    out.toByteArray
+  }
+
+  /** Minimal valid ADTS AAC-LC stream: 44.1 kHz stereo, 64-byte frames
+    * with header-true frame lengths. */
+  def syntheticAdts(durationS: Int = 4): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val nFrames = math.round(durationS * 44100.0 / 1024.0).toInt
+    val len = 64
+    for (_ <- 0 until nFrames) {
+      // sync FFF1: MPEG-4, layer 00, no CRC; profile LC (01),
+      // sr idx 4 (44100), channel cfg 2
+      out.write(Array[Byte](0xff.toByte, 0xf1.toByte,
+        ((1 << 6) | (4 << 2) | 0).toByte,                   // profile|srIdx|ch hi
+        ((2 << 6) | ((len >> 11) & 3)).toByte,              // ch lo | len hi
+        ((len >> 3) & 0xff).toByte,
+        (((len & 7) << 5) | 0x1f).toByte,                   // len lo | buffer full
+        0xfc.toByte))
+      out.write(new Array[Byte](len - 7))
+    }
+    out.toByteArray
+  }
+
+  /** Minimal valid FLAC: fLaC magic + STREAMINFO (44.1 kHz stereo,
+    * 16-bit, `durationS`·44100 total samples) + SEEKTABLE with a point
+    * every `seekEveryS` seconds. */
+  def syntheticFlac(durationS: Int = 4, seekEveryS: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('f', 'L', 'a', 'C'))
+    val total = durationS.toLong * 44100L
+    val si = new Array[Byte](34)
+    // sr(20) ch(3) bps(5) total(36) packed from byte 10
+    val sr = 44100; val ch = 2; val bps = 16
+    si(10) = ((sr >> 12) & 0xff).toByte
+    si(11) = ((sr >> 4) & 0xff).toByte
+    si(12) = (((sr & 0xf) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)).toByte
+    si(13) = ((((bps - 1) & 0xf) << 4) | ((total >> 32) & 0xf)).toInt.toByte
+    si(14) = ((total >> 24) & 0xff).toByte
+    si(15) = ((total >> 16) & 0xff).toByte
+    si(16) = ((total >> 8) & 0xff).toByte
+    si(17) = (total & 0xff).toByte
+    out.write(0x00); out.write(0); out.write(0); out.write(34) // STREAMINFO
+    out.write(si)
+    val points = (0 until durationS by seekEveryS).map(_ .toLong * 44100L)
+    out.write(0x80 | 0x03) // last block: SEEKTABLE
+    val stLen = points.length * 18
+    out.write((stLen >> 16) & 0xff); out.write((stLen >> 8) & 0xff); out.write(stLen & 0xff)
+    val bb = java.nio.ByteBuffer.allocate(stLen)
+    points.foreach { s => bb.putLong(s); bb.putLong(s * 64L); bb.putShort(4096.toShort) }
+    out.write(bb.array())
+    out.toByteArray
   }
 }

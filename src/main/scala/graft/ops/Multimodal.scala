@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
  *    (java.desktop ships them; verified headless in this container) —
  *    real Huffman+DCT JPEG decode, no added library.
  * Only genuinely codec-bound MEDIA formats (MP3/AAC audio, H.264
- * video) fall back to a clearly-marked deterministic STUB; the
- * Spark-side contract — schema, batch shape, partition-parallel
- * mapPartitions, failure capture — is identical for all paths, so
- * swapping the stub for a JNI/codec call changes only `decodeKernel`.
+ * video) fall back to a clearly-marked deterministic STUB for the
+ * SAMPLE decode — their header-level METADATA (duration, sample rate,
+ * channels, seek points) is real via [[Containers]]'s MP3/ADTS/FLAC
+ * frame walks. The Spark-side contract — schema, batch shape,
+ * partition-parallel mapPartitions, failure capture — is identical
+ * for all paths, so swapping the stub for a JNI/codec call changes
+ * only `decodeKernel`.
  */
 object Multimodal {
 

@@ -565,23 +565,67 @@ class OpsSpec extends AnyFunSuite {
     assert(m.keyframes_ms == Seq(0L, 1000L, 2000L, 3000L))
   }
 
+  test("MP3 frame walk: ID3 skip, per-frame duration, real seek points") {
+    val cbr = Containers.probe("a1", Containers.syntheticMp3(durationS = 4))
+    assert(cbr.ok, s"parse failed: ${cbr.error}")
+    assert(cbr.container == "mp3" && cbr.codecs == Seq("mp3"))
+    // 153 frames × 1152 / 44100 = 3.9967 s
+    assert(cbr.duration_ms == 3996L)
+    assert(cbr.sample_rate == 44100L && cbr.channels == 2)
+    // one real frame boundary at/after each whole second
+    assert(cbr.keyframes_ms.length == 4 && cbr.keyframes_ms.head == 0L)
+    assert(cbr.keyframes_ms.zip(Seq(0L, 1000L, 2000L, 3000L))
+      .forall { case (got, want) => got >= want && got < want + 27 })
+
+    // VBR: alternating 128/192 kbps frame LENGTHS, identical frame
+    // count — duration must come from walking headers, not size/bitrate
+    val vbr = Containers.probe("a2", Containers.syntheticMp3(durationS = 4, vbr = true))
+    assert(vbr.ok && vbr.duration_ms == cbr.duration_ms)
+  }
+
+  test("ADTS AAC frame walk: profile/rate/channels + exact frame duration") {
+    val m = Containers.probe("a3", Containers.syntheticAdts(durationS = 4))
+    assert(m.ok, s"parse failed: ${m.error}")
+    assert(m.container == "adts" && m.codecs == Seq("aac-lc"))
+    // 172 frames × 1024 / 44100 = 3.9938 s
+    assert(m.duration_ms == 3993L)
+    assert(m.sample_rate == 44100L && m.channels == 2)
+    assert(m.keyframes_ms.length == 4 && m.keyframes_ms.head == 0L)
+  }
+
+  test("FLAC metadata walk: STREAMINFO duration + SEEKTABLE points") {
+    val m = Containers.probe("a4", Containers.syntheticFlac(durationS = 4))
+    assert(m.ok, s"parse failed: ${m.error}")
+    assert(m.container == "flac" && m.codecs == Seq("flac"))
+    assert(m.duration_ms == 4000L) // total_samples/rate, exact
+    assert(m.sample_rate == 44100L && m.channels == 2)
+    assert(m.keyframes_ms == Seq(0L, 1000L, 2000L, 3000L))
+  }
+
   test("container probe captures truncated payloads PER ROW, never throws") {
     import spark.implicits._
     val mp4 = Containers.syntheticMp4()
     val webm = Containers.syntheticWebm()
+    val mp3 = Containers.syntheticMp3()
     val rows = Seq(
       ("good_mp4", mp4),
       ("trunc_mp4", mp4.take(mp4.length / 2)),
       ("good_webm", webm),
       ("trunc_webm", webm.take(webm.length / 3)),
+      ("good_mp3", mp3),
+      ("trunc_mp3", mp3.take(mp3.length / 2)),
+      ("trunc_flac", Containers.syntheticFlac().take(20)),
       ("not_a_container", Array.tabulate[Byte](64)(_.toByte)))
       .toDF("media_id", "payload")
     val out = Containers.probeContainers(rows).collect()
       .map(m => m.media_id -> m).toMap
     assert(out("good_mp4").ok && out("good_mp4").container == "mp4")
     assert(out("good_webm").ok && out("good_webm").container == "matroska")
+    assert(out("good_mp3").ok && out("good_mp3").container == "mp3")
     assert(!out("trunc_mp4").ok && out("trunc_mp4").error != null)
     assert(!out("trunc_webm").ok && out("trunc_webm").error != null)
+    assert(!out("trunc_mp3").ok && out("trunc_mp3").container == "mp3")
+    assert(!out("trunc_flac").ok && out("trunc_flac").container == "flac")
     // unknown formats are not errors — they're just not containers
     assert(out("not_a_container").ok && out("not_a_container").container == "none")
   }
