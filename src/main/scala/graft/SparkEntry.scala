@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.canon.{EventCoref, Justifications, RelationClusters}
-import graft.ops.{Dedup, Similarity, TextStats}
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
 import graft.schema.{Membership, Mention, Prototype, Statement}
 import graft.synth.TranscriptSynth
 
@@ -182,6 +182,11 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))),
     "q_langid" -> ((s, d) => TextStats.langId(t(s, d, "documents"))),
+    "q_wav_decode" -> ((s, d) => // REAL audio decode as an oracled row:
+      // per-doc deterministic PCM payload → RIFF decoder → features
+      // whose closed forms DuckDB re-derives exactly (Multimodal
+      // scaladoc has the exactness argument)
+      Multimodal.wavRoundTrip(t(s, d, "documents"))),
     "q_minhash_sigs" -> ((s, d) =>
       Dedup.minHashSignatures(t(s, d, "documents")).select(col("doc_id"),
         col("signature").cast("array<string>").cast("string").as("sig"))),
@@ -529,6 +534,23 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    // closed forms of the WAV round-trip features: samples are k/2^15
+    // (exact doubles), squares k^2/2^30 (exact), divisors are powers of
+    // two, sqrt is correctly rounded in both engines, and both sides
+    // cast to float32 — so the hash matches bit-exactly, proving the
+    // RIFF/fmt/data decoder against pure arithmetic
+    "q_wav_decode" ->
+      """WITH s AS (SELECT doc_id,
+        |    ((doc_id*37) % 2001 - 1000)/32768.0 AS sa,
+        |    ((doc_id*73) % 4001 - 2000)/32768.0 AS sb
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(0.015625 AS REAL) AS dur_s,
+        |  CAST(sqrt((sa*sa + sb*sb)/2) AS REAL) AS rms,
+        |  CAST(CASE WHEN (sa>0) <> (sb>0) THEN 1.0/128 ELSE 0 END AS REAL) AS zcr,
+        |  CAST((abs(sa)+abs(sb))/2 AS REAL) AS mean_abs,
+        |  CAST(greatest(abs(sa), abs(sb)) AS REAL) AS peak
+        |FROM s""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents),
         |sh AS (SELECT doc_id,

@@ -382,6 +382,58 @@ object Multimodal {
     }
   }
 
+  /** Minimal 16-bit PCM WAV ENCODER (RIFF + fmt + data), the write
+    * side of [[decodeWav]]: the reference's audio justifications carry
+    * start/end timestamps over real audio sources
+    * (/root/reference/update_kg/Updater.py:470-485); this is the
+    * smallest honest sink for such payloads and the encode half of the
+    * oracled round-trip below. */
+  def wavEncode(samples: Array[Short], sampleRate: Int, channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  /** Oracled encode→decode round-trip over the `documents` table: per
+    * doc_id, synthesize a deterministic two-block 128-sample mono
+    * 8192 Hz PCM payload, push it through the REAL RIFF/fmt/data
+    * decoder via [[extractFeatures]] (the full MediaRow → MediaFeatures
+    * plumbing, mapPartitions batch shape, failure capture), and emit
+    * the acoustic features whose closed forms an independent SQL engine
+    * can re-derive EXACTLY: every intermediate double is exactly
+    * representable (samples k/2^15, squares k²/2^30, power-of-two
+    * divisors) and sqrt is correctly rounded IEEE in both engines, so
+    * the row hash-matches, not just approximately. This makes the audio
+    * decode path a driver-checked CORRECTNESS row rather than
+    * ScalaTest-only. */
+  def wavRoundTrip(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val media = docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val a = ((id * 37) % 2001 - 1000).toShort
+      val bb = ((id * 73) % 4001 - 2000).toShort
+      val samples = Array.tabulate(128)(i => if (i < 64) a else bb)
+      MediaRow(id.toString, "audio", wavEncode(samples, sampleRate = 8192),
+        0, 0, 0L, s"doc$id")
+    }
+    extractFeatures(media)
+      .filter(_.ok) // malformed rows would vanish → rows_match catches it
+      .map(f => (f.media_id.toLong, f.embedding(0), f.embedding(1),
+        f.embedding(2), f.embedding(3), f.embedding(4)))
+      .toDF("doc_id", "dur_s", "rms", "zcr", "mean_abs", "peak")
+  }
+
   /** Frame-sampling plumbing for video: one row per sampled frame
     * time, ready for a per-frame decode. Payloads that parse as a real
     * container (MP4 stss⋈stts sync samples, Matroska CueTimes — see

@@ -55,15 +55,20 @@ class SnapshotStore(val root: String) {
     val snapId = math.max(current(stage).map(_ + 1L).getOrElse(0L),
       System.currentTimeMillis())
     val dir = s"$root/$stage/snap-$snapId"
+    // wall_ms covers forcing the stage's computation (the parquet write
+    // is the single action that executes the builder plan) — the
+    // manifest is thereby a per-stage wall/row profile of the run
+    val t0 = System.nanoTime()
     df.withColumn("_pid", spark_partition_id())
       .write.mode("overwrite").parquet(dir)
+    val wallMs = (System.nanoTime() - t0) / 1000000L
     val counts = df.sparkSession.read.parquet(dir)
       .groupBy(col("_pid")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val parent = current(stage).map(_.toString).getOrElse("null")
     val entry =
       s"""{"stage":"${esc(stage)}","snapshot":$snapId,"parent":$parent,""" +
-        s""""fp":"${esc(fingerprint)}",""" +
+        s""""fp":"${esc(fingerprint)}","wall_ms":$wallMs,""" +
         s""""rows":${counts.map(_._2).sum},"partitions":[""" +
         counts.map { case (p, c) => s"""{"pid":$p,"rows":$c}""" }.mkString(",") + "]}"
     val existing = readManifest().filterNot(_.contains(s""""stage":"${esc(stage)}","snapshot":$snapId"""))

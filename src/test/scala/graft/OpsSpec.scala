@@ -356,6 +356,27 @@ class OpsSpec extends AnyFunSuite {
     (8 until 16).foreach(k => assert(math.abs(emb(k) - emb(1)) < 0.01))
   }
 
+  test("wavRoundTrip features are EXACT closed forms of the planted blocks") {
+    import spark.implicits._
+    val docs = (0L until 10L).toDF("doc_id")
+    val out = Multimodal.wavRoundTrip(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 10) // every row decoded ok (failures are filtered)
+    (0L until 10L).foreach { id =>
+      val sa = ((id * 37) % 2001 - 1000) / 32768.0
+      val sb = ((id * 73) % 4001 - 2000) / 32768.0
+      val r = out(id)
+      // exact equality, not tolerance: every intermediate double is
+      // exactly representable and sqrt is correctly rounded (the same
+      // argument the q_wav_decode oracle row relies on)
+      assert(r.getFloat(1) == 0.015625f) // 128 frames / 8192 Hz
+      assert(r.getFloat(2) == math.sqrt((sa * sa + sb * sb) / 2).toFloat, s"rms id=$id")
+      assert(r.getFloat(3) == (if ((sa > 0) != (sb > 0)) 1f / 128 else 0f), s"zcr id=$id")
+      assert(r.getFloat(4) == ((math.abs(sa) + math.abs(sb)) / 2).toFloat, s"mean_abs id=$id")
+      assert(r.getFloat(5) == math.max(math.abs(sa), math.abs(sb)).toFloat, s"peak id=$id")
+    }
+  }
+
   test("BMP decode derives real pixel features; malformed payloads fail per-row") {
     import spark.implicits._
     // left half pure red, right half pure blue, 8x4

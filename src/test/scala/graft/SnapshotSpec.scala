@@ -21,6 +21,9 @@ class SnapshotSpec extends AnyFunSuite {
     val entry = store.manifestEntries().find(_.contains("stage_a")).get
     assert(entry.contains("\"rows\":100"))
     assert(entry.contains("\"pid\":"))
+    // per-stage wall profile: the manifest records how long forcing the
+    // stage took, so a run's manifest doubles as its stage-time profile
+    assert("\"wall_ms\":(\\d+)".r.findFirstMatchIn(entry).exists(_.group(1).toLong >= 0))
   }
 
   test("snapshots are immutable; re-write creates a child snapshot") {
