@@ -44,6 +44,20 @@ object SparkEntry {
       .toDF("etype", "subj", "obj", "place", "participants", "golden_n")
   }
 
+  /** The enumerable planted-truth prototype inventory (name, etype). */
+  def goldenPrototypesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    TranscriptSynth.goldenPrototypes(KgEventsCfg).toSeq.toDF("name", "etype")
+  }
+
+  /** Planted-truth relation-cluster member counts at name granularity. */
+  def goldenRelationCountsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    TranscriptSynth.goldenTripleCounts(KgEventsCfg).toSeq
+      .map { case (t, n) => (t.subj, t.pred, t.obj, n) }
+      .toDF("subj", "pred", "obj", "golden_n")
+  }
+
   /** Flagship: end-to-end KG construction on a small deterministic
     * transcript corpus → corpus-level superedge triples. */
   def entry(spark: SparkSession): DataFrame = {
@@ -289,9 +303,45 @@ object SparkEntry {
           coalesce(col("ing"), lit(false)).as("in_golden"))
     }),
     "q_kg_prototypes" -> ((s, _) => {
-      val cfg = TranscriptSynth.Config(nConvs = 60, turnsPerConv = 8)
-      Pipeline.run(TranscriptSynth.turnsDs(s, cfg, partitions = 8))
-        .prototypes.toDF().select(col("name"), col("etype"), col("n_members"))
+      Pipeline.run(TranscriptSynth.turnsDs(s, KgEventsCfg, partitions = 8))
+        .prototypes.toDF()
+        .select(col("cluster_id"), col("name"), col("etype"), col("n_members"))
+    }),
+    "q_kg_prototypes_golden" -> ((s, _) => { // prototype twin of
+      // q_kg_triples_golden: full-outer verdict of the pipeline's
+      // (name, etype) prototype inventory vs the planted families
+      val p = Pipeline.run(TranscriptSynth.turnsDs(s, KgEventsCfg, partitions = 8))
+        .prototypes.toDF().select(col("name"), col("etype")).distinct()
+      p.withColumn("inp", lit(true))
+        .join(goldenPrototypesDf(s).withColumn("ing", lit(true)),
+          Seq("name", "etype"), "full_outer")
+        .select(col("name"), col("etype"),
+          coalesce(col("inp"), lit(false)).as("in_pipeline"),
+          coalesce(col("ing"), lit(false)).as("in_golden"))
+    }),
+    "q_kg_relations_golden" -> ((s, _) => { // relation-cluster twin:
+      // parse the injective rel_key ("<pred>|obj:c:<md5>,subj:c:<md5>"
+      // — the sorted link set always orders obj before subj), resolve
+      // cluster ids to prototype names, and full-outer the name-level
+      // (subj, pred, obj, n_members) clusters against the planted fact
+      // multiplicities. The DuckDB oracle re-derives the same join from
+      // the q_kg_relation_clusters + q_kg_prototypes dumps.
+      val r = Pipeline.run(TranscriptSynth.turnsDs(s, KgEventsCfg, partitions = 8))
+      val names = r.prototypes.toDF().select(col("cluster_id"), col("name"))
+      val rel = RelationClusters.summary(r.relationClusters)
+        .select(
+          split(col("rel_key"), "\\|").getItem(0).as("pred"),
+          regexp_extract(col("rel_key"), "obj:([^,]+)", 1).as("obj_cluster"),
+          regexp_extract(col("rel_key"), "subj:([^,]+)$", 1).as("subj_cluster"),
+          col("n_members"))
+        .join(names.select(col("cluster_id").as("subj_cluster"), col("name").as("subj")),
+          Seq("subj_cluster"))
+        .join(names.select(col("cluster_id").as("obj_cluster"), col("name").as("obj")),
+          Seq("obj_cluster"))
+        .select(col("subj"), col("pred"), col("obj"), col("n_members"))
+      rel.join(goldenRelationCountsDf(s), Seq("subj", "pred", "obj"), "full_outer")
+        .select(col("subj"), col("pred"), col("obj"),
+          col("n_members"), col("golden_n"))
     }),
     "q_kg_event_prototypes" -> ((s, _) => { // C8: event coreference output
       val r = Pipeline.run(TranscriptSynth.turnsDs(s, KgEventsCfg, partitions = 8))
@@ -322,9 +372,8 @@ object SparkEntry {
           col("t.n_members").as("n_members"), col("g.golden_n").as("golden_n"))
     }),
     "q_kg_relation_clusters" -> ((s, _) => { // C6 wired into pipeline output
-      val cfg = TranscriptSynth.Config(nConvs = 60, turnsPerConv = 8)
       RelationClusters.summary(
-        Pipeline.run(TranscriptSynth.turnsDs(s, cfg, partitions = 8))
+        Pipeline.run(TranscriptSynth.turnsDs(s, KgEventsCfg, partitions = 8))
           .relationClusters)
         .select(col("rel_key"), col("n_members"))
     })
@@ -758,6 +807,33 @@ object SparkEntry {
         |FULL JOIN read_parquet('__GRAFT_OUT__/_golden_event_frames/*.parquet') g
         |  ON t.etype = g.etype AND t.subj = g.subj AND t.obj = g.obj
         | AND t.place IS NOT DISTINCT FROM g.place
-        | AND t.participants IS NOT DISTINCT FROM g.participants""".stripMargin
+        | AND t.participants IS NOT DISTINCT FROM g.participants""".stripMargin,
+    "q_kg_prototypes_golden" ->
+      """SELECT coalesce(t.name, g.name) AS name,
+        |       coalesce(t.etype, g.etype) AS etype,
+        |       t.name IS NOT NULL AS in_pipeline,
+        |       g.name IS NOT NULL AS in_golden
+        |FROM (SELECT DISTINCT name, etype
+        |      FROM read_parquet('__GRAFT_OUT__/q_kg_prototypes/*.parquet')) t
+        |FULL JOIN read_parquet('__GRAFT_OUT__/_golden_prototypes/*.parquet') g
+        |  ON t.name = g.name AND t.etype = g.etype""".stripMargin,
+    "q_kg_relations_golden" ->
+      """WITH rel AS (
+        |  SELECT p2.name AS subj,
+        |         split_part(rc.rel_key, '|', 1) AS pred,
+        |         p1.name AS obj,
+        |         rc.n_members
+        |  FROM read_parquet('__GRAFT_OUT__/q_kg_relation_clusters/*.parquet') rc
+        |  JOIN read_parquet('__GRAFT_OUT__/q_kg_prototypes/*.parquet') p1
+        |    ON p1.cluster_id = regexp_extract(rc.rel_key, 'obj:([^,]+)', 1)
+        |  JOIN read_parquet('__GRAFT_OUT__/q_kg_prototypes/*.parquet') p2
+        |    ON p2.cluster_id = regexp_extract(rc.rel_key, 'subj:([^,]+)$', 1))
+        |SELECT coalesce(rel.subj, g.subj) AS subj,
+        |       coalesce(rel.pred, g.pred) AS pred,
+        |       coalesce(rel.obj, g.obj) AS obj,
+        |       rel.n_members AS n_members, g.golden_n AS golden_n
+        |FROM rel
+        |FULL JOIN read_parquet('__GRAFT_OUT__/_golden_relation_counts/*.parquet') g
+        |  ON rel.subj = g.subj AND rel.pred = g.pred AND rel.obj = g.obj""".stripMargin
   )
 }

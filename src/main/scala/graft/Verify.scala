@@ -32,12 +32,15 @@ object Verify {
     // sets are enumerable pure functions of the synth config, and the
     // q_kg_*_golden oracle SQL full-joins the pipeline dumps against
     // these files — pipeline parity as a driver-checked hash row
-    if (only.isEmpty ||
-        only.exists(s => s.contains("q_kg_triples_golden") || s.contains("q_kg_events_golden"))) {
+    if (only.isEmpty || only.exists(_.exists(_.endsWith("_golden")))) {
       SparkEntry.goldenTriplesDf(spark).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_golden_triples")
       SparkEntry.goldenEventFramesDf(spark).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_golden_event_frames")
+      SparkEntry.goldenPrototypesDf(spark).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_golden_prototypes")
+      SparkEntry.goldenRelationCountsDf(spark).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_golden_relation_counts")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

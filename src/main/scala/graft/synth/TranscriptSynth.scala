@@ -271,6 +271,47 @@ object TranscriptSynth {
     out.toMap
   }
 
+  /** Golden prototype inventory at (canonical name, entity type)
+    * granularity: every family that appears in ANY role of any planted
+    * fact (subject, object, place, either participant) must surface as
+    * an entity prototype — the ID-insensitive parity target for the
+    * prototype stage (same content-comparison contract as
+    * [[goldenTriples]]). */
+  def goldenPrototypes(cfg: Config): Set[(String, String)] = {
+    val out = scala.collection.mutable.Set.empty[(String, String)]
+    var i = 0L
+    while (i < cfg.nTurns) {
+      factAt(cfg, i).foreach { f =>
+        Seq(f.subjFam, f.objFam, f.placeFam, f.partFam, f.part2Fam)
+          .foreach(fam =>
+            if (fam >= 0) out += ((canonical(cfg, fam), etypeOf(cfg, fam))))
+      }
+      i += 1
+    }
+    out.toSet
+  }
+
+  /** Golden per-(subj, pred, obj) statement MULTIPLICITIES at
+    * canonical-name granularity — the expected relation-cluster member
+    * counts (`.Place` statements included, like [[goldenTriples]]):
+    * relations with identical (pred, argument clusters) are one
+    * cluster whose n_members is the planted fact count. */
+  def goldenTripleCounts(cfg: Config): Map[Triple, Long] = {
+    val out = scala.collection.mutable.Map.empty[Triple, Long]
+    def add(t: Triple): Unit = out(t) = out.getOrElse(t, 0L) + 1L
+    var i = 0L
+    while (i < cfg.nTurns) {
+      factAt(cfg, i).foreach { f =>
+        val pred = Lexicon.triggers(f.verb)._1
+        add(Triple(canonical(cfg, f.subjFam), pred, canonical(cfg, f.objFam)))
+        if (f.placeFam >= 0)
+          add(Triple(canonical(cfg, f.subjFam), pred + ".Place", canonical(cfg, f.placeFam)))
+      }
+      i += 1
+    }
+    out.toMap
+  }
+
   /** Golden corpus-level triple set at canonical-name granularity —
     * the ID-insensitive parity target (SURVEY.md §5.1; reference IDs
     * are random, update_kg/Updater.py:156-158, so comparison is by

@@ -29,6 +29,42 @@ class PipelineGoldenSpec extends AnyFunSuite {
     assert(recall >= 0.95, f"recall $recall%.4f < 0.95")
   }
 
+  test("golden enumerations are mutually consistent (pure, no Spark)") {
+    val cfg = TranscriptSynth.Config(nConvs = 60, turnsPerConv = 8)
+    val triples = TranscriptSynth.goldenTriples(cfg)
+    val counts = TranscriptSynth.goldenTripleCounts(cfg)
+    // counts is the multiplicity refinement of the triple set
+    assert(counts.keySet == triples)
+    assert(counts.values.forall(_ >= 1L))
+    // every subject/object name in the triple set is a golden prototype
+    val protoNames = TranscriptSynth.goldenPrototypes(cfg).map(_._1)
+    assert(triples.forall(t => protoNames(t.subj) && protoNames(t.obj)))
+    // and prototype etypes come from the closed Lexicon type inventory
+    val etypes = TranscriptSynth.goldenPrototypes(cfg).map(_._2)
+    assert(etypes.subsetOf(Set(graft.extract.Lexicon.PER,
+      graft.extract.Lexicon.ORG, graft.extract.Lexicon.GPE)))
+  }
+
+  test("prototype and relation-cluster golden parity >= 0.9 (pipeline vs planted)") {
+    val cfg = SparkEntry.KgEventsCfg
+    val r = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = 8))
+    val emitted = r.prototypes.collect().map(p => (p.name, p.etype)).toSet
+    val golden = TranscriptSynth.goldenPrototypes(cfg)
+    val tp = (emitted intersect golden).size.toDouble
+    info(f"protos emitted=${emitted.size} golden=${golden.size} P=${tp / emitted.size}%.4f R=${tp / golden.size}%.4f")
+    assert(tp / emitted.size >= 0.9)
+    assert(tp / golden.size >= 0.9)
+    // relation member counts: matched name-triples must carry EXACTLY
+    // the planted fact multiplicity (count parity, not just presence)
+    val relGolden = TranscriptSynth.goldenTripleCounts(cfg)
+    val rel = SparkEntry.queries("q_kg_relations_golden")(spark, "")
+      .collect().map(row => (Triple(row.getString(0), row.getString(1),
+        row.getString(2)), Option(row.get(3)), Option(row.get(4))))
+    val matched = rel.filter(x => x._2.isDefined && x._3.isDefined)
+    assert(matched.length.toDouble / relGolden.size >= 0.9)
+    matched.foreach { case (t, n, g) => assert(n == g, s"count mismatch at $t") }
+  }
+
   test("no extraction errors on synthetic corpus") {
     val cfg = TranscriptSynth.Config(nConvs = 50, turnsPerConv = 10)
     val result = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = 4))
