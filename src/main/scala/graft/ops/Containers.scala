@@ -296,6 +296,71 @@ object Containers {
   def looksLikeFlac(b: Array[Byte]): Boolean =
     b.length >= 8 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C'
 
+  /** Ogg capture pattern "OggS" + stream_structure_version 0
+    * (RFC 3533 §6). */
+  def looksLikeOgg(b: Array[Byte]): Boolean =
+    b.length >= 27 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' &&
+      b(3) == 'S' && b(4) == 0
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def le64(b: Array[Byte], o: Int): Long =
+    le32(b, o) | (le32(b, o + 4) << 32)
+
+  /** Ogg page walk (RFC 3533): duration from the primary stream's
+    * terminal granule position, codec/rate/channels from its BOS
+    * identification header (OpusHead, RFC 7845 §5.1 — granules are
+    * ALWAYS 48 kHz and include pre-skip; `\x01vorbis`, Vorbis I
+    * §4.2.2), seek points at page granule boundaries. Metadata for the
+    * FIRST logical stream (BOS serial); no packet decoding, no CRC
+    * verification — same metadata-only contract as the other walks.
+    * `nFrames` counts pages. */
+  def parseOgg(b: Array[Byte]): AudioMeta = {
+    require(looksLikeOgg(b), "not Ogg")
+    var o = 0
+    var firstSerial = -1L
+    var codec = "unknown"; var rate = 48000; var channels = 0; var preskip = 0L
+    var lastGranule = 0L; var nPages = 0L
+    val seeks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (o + 27 <= b.length) {
+      require(b(o) == 'O' && b(o + 1) == 'g' && b(o + 2) == 'g' &&
+        b(o + 3) == 'S' && b(o + 4) == 0, s"bad page capture at offset $o")
+      val granule = le64(b, o + 6)
+      val serial = le32(b, o + 14)
+      val nSegs = b(o + 26) & 0xff
+      require(o + 27 + nSegs <= b.length, "truncated segment table")
+      var body = 0; var s = 0
+      while (s < nSegs) { body += b(o + 27 + s) & 0xff; s += 1 }
+      val bodyAt = o + 27 + nSegs
+      require(bodyAt + body <= b.length, "truncated page body")
+      if (firstSerial < 0) {
+        firstSerial = serial
+        if (body >= 19 && new String(b, bodyAt, 8, "US-ASCII") == "OpusHead") {
+          codec = "opus"; channels = b(bodyAt + 9) & 0xff
+          preskip = (b(bodyAt + 10) & 0xffL) | ((b(bodyAt + 11) & 0xffL) << 8)
+          rate = 48000
+        } else if (body >= 30 && b(bodyAt) == 1 &&
+            new String(b, bodyAt + 1, 6, "US-ASCII") == "vorbis") {
+          codec = "vorbis"; channels = b(bodyAt + 11) & 0xff
+          rate = le32(b, bodyAt + 12).toInt
+          require(rate > 0, "vorbis rate 0")
+        }
+      }
+      if (serial == firstSerial && granule > 0) {
+        lastGranule = math.max(lastGranule, granule)
+        seeks += granule
+      }
+      nPages += 1
+      o = bodyAt + body
+    }
+    require(codec != "unknown", "no OpusHead/vorbis identification header")
+    val skip = if (codec == "opus") preskip else 0L
+    AudioMeta(codec, math.max(0L, lastGranule - skip) * 1000L / rate,
+      rate, channels, nPages,
+      seeks.toSeq.map(g => math.max(0L, g - skip) * 1000L / rate))
+  }
+
   /** ID3v2 tag ("ID3" + syncsafe size) or a bare MPEG-1/2/2.5 Layer
     * I-III frame sync with valid version/layer/bitrate/samplerate bits
     * — checked LAST in [[probe]] (the 11-bit sync is the loosest of
@@ -468,6 +533,10 @@ object Containers {
         val m = parseMatroska(b)
         ContainerMeta(mediaId, "matroska", m.durationMs, m.trackTypes.length,
           m.trackTypes, m.codecs, m.keyframesMs.sorted, ok = true, null)
+      } else if (looksLikeOgg(b)) {
+        val m = parseOgg(b)
+        ContainerMeta(mediaId, "ogg", m.durationMs, 1, Seq("soun"),
+          Seq(m.codec), m.seekMs.sorted, ok = true, null, m.sampleRate, m.channels)
       } else if (looksLikeFlac(b)) {
         val m = parseFlac(b)
         ContainerMeta(mediaId, "flac", m.durationMs, 1, Seq("soun"),
@@ -489,6 +558,7 @@ object Containers {
         val p = if (payload == null) Array.emptyByteArray else payload
         val kind = if (looksLikeMatroska(p)) "matroska"
                    else if (looksLikeMp4(p)) "mp4"
+                   else if (looksLikeOgg(p)) "ogg"
                    else if (looksLikeFlac(p)) "flac"
                    else if (looksLikeAdts(p)) "adts"
                    else if (looksLikeMp3(p)) "mp3" else "none"
@@ -632,6 +702,43 @@ object Containers {
         (((len & 7) << 5) | 0x1f).toByte,                   // len lo | buffer full
         0xfc.toByte))
       out.write(new Array[Byte](len - 7))
+    }
+    out.toByteArray
+  }
+
+  /** Minimal valid Ogg Opus: BOS page carrying OpusHead (RFC 7845),
+    * then 64-byte data pages with 48 kHz granule positions every
+    * `pageMs`, EOS flag on the last. CRCs are zeroed — the walk's
+    * metadata-only contract never verifies checksums. */
+  def syntheticOggOpus(durationMs: Long = 4000L, pageMs: Long = 1000L,
+      preskip: Int = 312): Array[Byte] = {
+    def page(granule: Long, seq: Long, headerType: Int,
+        body: Array[Byte]): Array[Byte] = {
+      val nSegs = body.length / 255 + 1
+      val bb = java.nio.ByteBuffer.allocate(27 + nSegs + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(headerType.toByte)
+        .putLong(granule).putInt(1 /*serial*/).putInt(seq.toInt).putInt(0 /*crc*/)
+        .put(nSegs.toByte)
+      var rem = body.length
+      (0 until nSegs).foreach { _ =>
+        bb.put(math.min(rem, 255).toByte); rem -= math.min(rem, 255)
+      }
+      bb.put(body).array()
+    }
+    val head = java.nio.ByteBuffer.allocate(19)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    head.put("OpusHead".getBytes("US-ASCII")).put(1.toByte) // version
+      .put(2.toByte)                // channels
+      .putShort(preskip.toShort)    // pre-skip (48 kHz samples)
+      .putInt(48000)                // input sample rate (informational)
+      .putShort(0).put(0.toByte)    // gain, mapping family
+    val times = (pageMs to durationMs by pageMs).toArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(page(0L, 0L, 2 /*BOS*/, head.array()))
+    times.zipWithIndex.foreach { case (t, i) =>
+      out.write(page(preskip + t * 48L, i + 1L,
+        if (t == times.last) 4 /*EOS*/ else 0, new Array[Byte](64)))
     }
     out.toByteArray
   }

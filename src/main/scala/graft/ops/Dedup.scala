@@ -85,9 +85,10 @@ object Dedup {
     * truth), at the cost of more sub-threshold candidates, which the
     * exact-Jaccard verification stage is there to reject. */
   def minHashCandidates(signatures: DataFrame, rowsPerBand: Int = 2,
-      numHashes: Int = 16): DataFrame = {
+      numHashes: Int = 16, maxBucketSize: Int = 1024): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       s"numHashes=$numHashes not divisible by rowsPerBand=$rowsPerBand")
+    require(maxBucketSize >= 2, s"maxBucketSize=$maxBucketSize < 2")
     // null text → null signature: those docs simply don't participate
     // in candidate generation (the pre-kernel explode path's behavior);
     // raise_error is reserved for genuine width desyncs on REAL rows —
@@ -113,14 +114,43 @@ object Dedup {
         col("doc_id"),
         lit(b).as("band"),
         xxhash64(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)
-          .cast("array<string>").cast("string"), lit(b)).as("bucket"))
+          .cast("array<string>").cast("string"), lit(b)).as("bucket"),
+        // full-signature hash — the hot-bucket star-link key below
+        xxhash64(col("signature").cast("array<string>").cast("string"))
+          .as("sigh"))
     }.reduce(_ unionByName _)
-    bands.as("a")
-      .join(bands.as("b").hint("merge"),
+    // HOT-BUCKET CAP. The bucket self-join is |bucket|² per bucket: on
+    // boilerplate-heavy corpora (templated fillers here, nav chrome /
+    // license headers on the web) a low-information r-row band can
+    // collect millions of moderately-similar docs and the pair join
+    // becomes the OOM/shuffle bottleneck (observed: a 2.67M-conv corpus
+    // produced 74 GB of candidate shuffle and killed a 48 GB JVM).
+    // Buckets ≤ maxBucketSize pair exactly as before. Oversized buckets
+    // degrade to STAR-LINKING within identical-FULL-signature groups
+    // (min doc_id ← every other member): O(|group|) edges, and EXACT
+    // duplicates — whose signatures are equal by construction — stay
+    // connected through CC, so re-ingested copies are still caught.
+    // What a hot bucket no longer yields is sub-exact near-dup pairs
+    // *from that band alone*; such pairs still surface in any of their
+    // other b−1 (non-hot) bands, which is where genuinely similar
+    // non-boilerplate pairs live.
+    val sizes = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+    val sized = bands.join(sizes.hint("merge"), Seq("band", "bucket"))
+    val small = sized.filter(col("bsz") <= maxBucketSize)
+    val pairsSmall = small.as("a")
+      .join(small.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val hot = sized.filter(col("bsz") > maxBucketSize)
+    val roots = hot.groupBy(col("band"), col("bucket"), col("sigh"))
+      .agg(min(col("doc_id")).as("root"))
+    val pairsHot = hot
+      .join(roots.hint("merge"), Seq("band", "bucket", "sigh"))
+      .filter(col("doc_id") =!= col("root")) // root = min ⇒ doc_a < doc_b
+      .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
+    pairsSmall.unionByName(pairsHot).distinct()
   }
 
   /** End-to-end near-duplicate GROUPING: MinHash-LSH candidates →
@@ -132,9 +162,10 @@ object Dedup {
     * reuses the KG pipeline's CC operator.
     * Output: (doc_id, canon_id, is_dup). */
   def nearDupClusters(docs: DataFrame, jaccardThreshold: Double = 0.8,
-      k: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+      k: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 2,
+      maxBucketSize: Int = 1024): DataFrame = {
     val cand = minHashCandidates(minHashSignatures(docs, k, numHashes),
-      rowsPerBand, numHashes)
+      rowsPerBand, numHashes, maxBucketSize)
     val verified = ngramJaccard(docs, cand, minJaccard = jaccardThreshold)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))

@@ -147,6 +147,33 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L) == ((5L, false)))
   }
 
+  test("hot-bucket cap: exact dups in boilerplate buckets still cluster; candidates stay linear") {
+    // 40 boilerplate docs sharing one long templated body with a
+    // unique tail (sub-threshold jaccard to each other) + one planted
+    // EXACT re-ingest of doc 0. With maxBucketSize=8 every band bucket
+    // is hot, so the pair join is suppressed and only the star-link
+    // path runs — the exact pair (identical full signature) must
+    // survive it, and the verdict must equal the uncapped run's.
+    val boiler = "this conversation is provided under the standard license " +
+      "terms and all tool calls were logged for quality assurance purposes"
+    val rows = (0L until 40L).map(i =>
+      i -> s"$boiler unique marker alpha$i beta$i gamma$i delta$i epsilon$i") :+
+      (99L -> s"$boiler unique marker alpha0 beta0 gamma0 delta0 epsilon0")
+    val d = docs(rows: _*)
+    val sigs = Dedup.minHashSignatures(d)
+    val capped = Dedup.minHashCandidates(sigs, maxBucketSize = 8).collect()
+    // star-linking is O(members) per hot bucket, never |bucket|²
+    assert(capped.length <= 8 * 41, s"capped candidates not linear: ${capped.length}")
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).contains((0L, 99L)))
+    val out = Dedup.nearDupClusters(d, jaccardThreshold = 0.9, maxBucketSize = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val outUncapped = Dedup.nearDupClusters(d, jaccardThreshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(99L) == ((0L, true)))  // the exact re-ingest is caught
+    assert(out(0L) == ((0L, false)))
+    assert(out == outUncapped)        // cap changes cost, not the verdict
+  }
+
   test("IVF ANN: probed top-k matches brute force on clustered data; never under-returns") {
     import spark.implicits._
     // two tight clusters on different axes + a stray — k-means separates them
@@ -623,12 +650,24 @@ class OpsSpec extends AnyFunSuite {
     assert(m.keyframes_ms == Seq(0L, 1000L, 2000L, 3000L))
   }
 
+  test("Ogg page walk: OpusHead id header, granule duration minus pre-skip, page seek points") {
+    val m = Containers.probe("a5", Containers.syntheticOggOpus(durationMs = 4000L))
+    assert(m.ok, s"parse failed: ${m.error}")
+    assert(m.container == "ogg" && m.codecs == Seq("opus"))
+    // terminal granule = preskip + 4000·48 ⇒ effective 4000 ms exactly
+    assert(m.duration_ms == 4000L)
+    assert(m.sample_rate == 48000L && m.channels == 2)
+    assert(m.keyframes_ms == Seq(1000L, 2000L, 3000L, 4000L))
+  }
+
   test("container probe captures truncated payloads PER ROW, never throws") {
     import spark.implicits._
     val mp4 = Containers.syntheticMp4()
     val webm = Containers.syntheticWebm()
     val mp3 = Containers.syntheticMp3()
     val rows = Seq(
+      ("good_ogg", Containers.syntheticOggOpus()),
+      ("trunc_ogg", Containers.syntheticOggOpus().take(40)),
       ("good_mp4", mp4),
       ("trunc_mp4", mp4.take(mp4.length / 2)),
       ("good_webm", webm),
@@ -647,6 +686,8 @@ class OpsSpec extends AnyFunSuite {
     assert(!out("trunc_webm").ok && out("trunc_webm").error != null)
     assert(!out("trunc_mp3").ok && out("trunc_mp3").container == "mp3")
     assert(!out("trunc_flac").ok && out("trunc_flac").container == "flac")
+    assert(out("good_ogg").ok && out("good_ogg").container == "ogg")
+    assert(!out("trunc_ogg").ok && out("trunc_ogg").container == "ogg")
     // unknown formats are not errors — they're just not containers
     assert(out("not_a_container").ok && out("not_a_container").container == "none")
   }
