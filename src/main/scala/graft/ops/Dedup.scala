@@ -241,8 +241,17 @@ object Dedup {
 
   /** SimHash near-dup pairs: block on 4 × 16-bit chunks (any-equal ⇒
     * candidate, guaranteeing recall for distance ≤ 3 by pigeonhole),
-    * verify with exact Hamming distance. */
-  def simHashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * verify with exact Hamming distance.
+    *
+    * Same hot-bucket cap as [[minHashCandidates]]: a 16-bit chunk is
+    * even lower-information than a 2-row minhash band, so boilerplate
+    * corpora make chunk buckets quadratic. Chunks over `maxBucketSize`
+    * star-link within identical FULL simhash groups (distance 0 —
+    * always ≤ maxHamming), preserving exact-duplicate recall at
+    * O(members); a ≤3-distance pair whose every chunk bucket is hot is
+    * traded away, documented loudly here. */
+  def simHashPairs(sims: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Int = 1024): DataFrame = {
     // one kernel eval per doc: the 4 chunk branches × 2 join sides scan
     // this 16-byte-per-row checkpoint, never the upstream simhash plan
     val compact = sims.select(col("doc_id"), col("simhash"))
@@ -252,12 +261,25 @@ object Dedup {
       compact.select(col("doc_id"), col("simhash"), lit(c).as("chunk"),
         shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("key"))
     }.reduce(_ unionByName _)
-    chunks.as("a")
-      .join(chunks.as("b").hint("merge"),
+    val sizes = chunks.groupBy(col("chunk"), col("key"))
+      .agg(count(lit(1)).as("bsz"))
+    val sized = chunks.join(sizes.hint("merge"), Seq("chunk", "key"))
+    val small = sized.filter(col("bsz") <= maxBucketSize)
+    val pairsSmall = small.as("a")
+      .join(small.as("b").hint("merge"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         hamming(col("a.simhash"), col("b.simhash")).as("dist"))
+    val hot = sized.filter(col("bsz") > maxBucketSize)
+    val roots = hot.groupBy(col("chunk"), col("key"), col("simhash"))
+      .agg(min(col("doc_id")).as("root"))
+    val pairsHot = hot
+      .join(roots.hint("merge"), Seq("chunk", "key", "simhash"))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("root").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(0L).as("dist")) // identical simhash ⇒ distance 0
+    pairsSmall.unionByName(pairsHot)
       .distinct()
       .filter(col("dist") <= maxHamming)
   }

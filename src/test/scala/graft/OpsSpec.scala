@@ -174,6 +174,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out == outUncapped)        // cap changes cost, not the verdict
   }
 
+  test("simhash hot-chunk cap: identical docs still pair at distance 0") {
+    val boiler = "the license header that every document in this corpus " +
+      "shares verbatim across the entire crawl for boilerplate reasons"
+    val rows = (0L until 30L).map(i => i -> s"$boiler tail$i mark$i") :+
+      (99L -> s"$boiler tail0 mark0") // exact copy of doc 0
+    val d = docs(rows: _*)
+    val sims = Dedup.simHash(d)
+    val capped = Dedup.simHashPairs(sims, maxBucketSize = 8).collect()
+    val exact = capped.find(r => r.getLong(0) == 0L && r.getLong(1) == 99L)
+    assert(exact.isDefined && exact.get.getLong(2) == 0L)
+    // verdicts agree with the uncapped run wherever both emit the pair
+    val full = Dedup.simHashPairs(sims).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    capped.foreach(r =>
+      assert(full((r.getLong(0), r.getLong(1))) == r.getLong(2)))
+  }
+
   test("IVF ANN: probed top-k matches brute force on clustered data; never under-returns") {
     import spark.implicits._
     // two tight clusters on different axes + a stray — k-means separates them
