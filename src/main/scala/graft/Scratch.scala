@@ -43,6 +43,64 @@ object Scratch {
       spark.stop()
       return
     }
+    if (sys.env.get("SCRATCH_MODE").contains("dedupdiag")) {
+      // conversation-dedup cost diagnostic: band-bucket distribution and
+      // candidate volume vs cap on the synthdup boilerplate corpus
+      import org.apache.spark.sql.functions._
+      val base = Main.loadTurns(spark, s"synthdup:$nTurns")
+      val docs = time("conversationDocs") {
+        graft.ops.ConversationDedup.conversationDocs(base).localCheckpoint(true) }
+      println(s"[scratch] convs=${docs.count()}")
+      val r = sys.env.getOrElse("SCRATCH_R", "2").toInt
+      val sigs = graft.ops.Dedup.minHashSignatures(
+        docs.select(col("doc_id"), col("text")))
+      val bands = (0 until 16 / r).map { b =>
+        sigs.select(col("doc_id"), lit(b).as("band"),
+          xxhash64(slice(col("signature"), b * r + 1, r)
+            .cast("array<string>").cast("string"), lit(b)).as("bucket"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val sizes = bands.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bsz")).localCheckpoint(true)
+      time("bucket_histogram") {
+        sizes.select(
+          when(col("bsz") === 1, "1").when(col("bsz") <= 8, "2-8")
+            .when(col("bsz") <= 64, "9-64").when(col("bsz") <= 256, "65-256")
+            .when(col("bsz") <= 1024, "257-1024").otherwise(">1024").as("bin"),
+          col("bsz"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("buckets"), sum(col("bsz")).as("docs"),
+            sum(col("bsz") * (col("bsz") - 1) / 2).as("pairs_if_joined"))
+          .orderBy(col("pairs_if_joined"))
+          .collect().foreach(r => println(s"[scratch] bin=${r.get(0)} buckets=${r.get(1)} docs=${r.get(2)} pairs=${r.get(3)}"))
+      }
+      for (cap <- Seq(64, 256, 1024)) {
+        val n = time(s"candidates_cap$cap") {
+          graft.ops.Dedup.minHashCandidates(sigs, rowsPerBand = r,
+            maxBucketSize = cap).count() }
+        println(s"[scratch] cap=$cap candidates=$n")
+      }
+      // signature-agreement estimate distribution over the candidates:
+      // how many survive an estimate >= {0.5, 0.6, 0.8} prefilter?
+      val cand = graft.ops.Dedup.minHashCandidates(sigs, rowsPerBand = r,
+        maxBucketSize = 256).localCheckpoint(true)
+      val sl = sigs.localCheckpoint(true)
+      val est = cand
+        .join(sl.select(col("doc_id").as("doc_a"), col("signature").as("sa")), "doc_a")
+        .join(sl.select(col("doc_id").as("doc_b"), col("signature").as("sb")), "doc_b")
+        .select((aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / 16.0).as("est"))
+      time("estimate_histogram") {
+        est.select(
+          when(col("est") < 0.25, "<0.25").when(col("est") < 0.5, "0.25-0.5")
+            .when(col("est") < 0.6, "0.5-0.6").when(col("est") < 0.8, "0.6-0.8")
+            .when(col("est") < 1.0, "0.8-1").otherwise("1").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("n")).orderBy(col("bin"))
+          .collect().foreach(rr => println(s"[scratch] est ${rr.get(0)}: ${rr.get(1)}"))
+      }
+      spark.stop()
+      return
+    }
     if (sys.env.get("SCRATCH_MODE").contains("parts")) {
       // partitioning audit of the materialized stage boundaries — a
       // 1-partition checkpoint is a serialization point (one 136s task

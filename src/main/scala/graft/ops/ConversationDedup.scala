@@ -49,8 +49,20 @@ object ConversationDedup {
     val g = docs.agg(count(lit(1)), countDistinct(col("doc_id"))).head()
     require(g.getLong(0) == g.getLong(1),
       s"conv_id hash collision: ${g.getLong(0)} conversations, ${g.getLong(1)} distinct doc ids")
+    // BOILERPLATE-REGIME TUNING (measured, tools/Scratch dedupdiag at
+    // 267k convs): conversation docs share templated turns, so the
+    // default b=8×r=2 banding (S-curve knee j≈0.35) makes nearly every
+    // conv pair a candidate — 54M pairs for 267k convs, 74 GB of
+    // candidate shuffle at 2.67M. Re-ingestion dedup targets j ≥ 0.9:
+    // r=4 (knee ≈ 0.71) cuts candidates 25×, maxBucketSize=256 caps
+    // what boilerplate remains, and the est ≥ 0.5 signature prefilter
+    // (miss ≈ 1e-8 at j=0.9; exact re-ingests est ≡ 1) drops the rest
+    // before any shingle row is materialized. Pair recall at j=0.9 is
+    // 1-(1-0.9⁴)⁴ ≈ 0.986 per pair (1.0 for exact copies), and CC
+    // closes families through any surviving pair.
     val lazyVerdicts = Dedup.nearDupClusters(
-        docs.select(col("doc_id"), col("text")), jaccardThreshold)
+        docs.select(col("doc_id"), col("text")), jaccardThreshold,
+        rowsPerBand = 4, maxBucketSize = 256, minEstimate = 0.5)
       .join(docs.select(col("doc_id"), col("conv_id")).hint("merge"), "doc_id")
       .select(col("conv_id"), col("doc_id"), col("canon_id"), col("is_dup"))
     // materialize the (tiny: 4 narrow columns × conv count) verdict,

@@ -174,6 +174,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out == outUncapped)        // cap changes cost, not the verdict
   }
 
+  test("signature-estimate prefilter keeps exact dups, drops low-estimate candidates") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val d = docs(
+      1L -> base,
+      2L -> base, // exact dup: est = 1.0, must survive any prefilter < 1
+      3L -> base.replaceAll("(alpha|gamma|epsilon|eta|iota|lambda|nu|omicron|rho|tau)", "X"))
+    val sigs = Dedup.minHashSignatures(d)
+    val all = Dedup.minHashCandidates(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = Dedup.minHashCandidates(sigs, minEstimate = 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.contains((1L, 2L)) && filtered.contains((1L, 2L)))
+    assert(filtered.subsetOf(all))
+    // the half-rewritten doc pairs with the originals in `all` (word
+    // jaccard ~0.3 still collides in some b=8/r=2 band) but cannot
+    // survive a 0.95 estimate gate
+    assert(!filtered.contains((1L, 3L)) && !filtered.contains((2L, 3L)))
+  }
+
   test("simhash hot-chunk cap: identical docs still pair at distance 0") {
     val boiler = "the license header that every document in this corpus " +
       "shares verbatim across the entire crawl for boilerplate reasons"
