@@ -101,6 +101,88 @@ object Scratch {
       spark.stop()
       return
     }
+    if (sys.env.get("SCRATCH_MODE").contains("dedupstage")) {
+      // per-phase wall profile of ConversationDedup.conversationClusters
+      // on the synthdup corpus (the --dedup stage the 20M manifest
+      // under-credits: eager actions inside the builder are invisible
+      // to the stage's write-wall)
+      import org.apache.spark.sql.functions._
+      val base = Main.loadTurns(spark, s"synthdup:$nTurns")
+      val docs = time("p1_conversationDocs_ckpt") {
+        graft.ops.ConversationDedup.conversationDocs(base).localCheckpoint(true) }
+      time("p2_collision_guard") {
+        val g = docs.agg(count(lit(1)), countDistinct(col("doc_id"))).head()
+        require(g.getLong(0) == g.getLong(1)) }
+      val sigs = time("p3_signatures_ckpt") {
+        graft.ops.Dedup.minHashSignatures(docs.select(col("doc_id"), col("text")))
+          .localCheckpoint(true) }
+      val cand = time("p4_candidates_ckpt") {
+        graft.ops.Dedup.minHashCandidates(sigs, rowsPerBand = 4,
+          maxBucketSize = 256, minEstimate = 0.5).localCheckpoint(true) }
+      println(s"[scratch] candidates=${cand.count()}")
+      val verified = time("p5_jaccard_verify_ckpt") {
+        graft.ops.Dedup.ngramJaccard(docs.select(col("doc_id"), col("text")),
+            cand, minJaccard = 0.9)
+          .filter(col("jaccard") >= 0.9)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .localCheckpoint(true) }
+      println(s"[scratch] verified=${verified.count()}")
+      val comp = time("p6_cc_ckpt") {
+        graft.cc.ConnectedComponents.run(verified).localCheckpoint(true) }
+      println(s"[scratch] comp=${comp.count()}")
+      time("p7_verdict_joinback") {
+        val v = docs.select(col("doc_id"))
+          .join(comp.withColumnRenamed("sid", "doc_id").hint("merge"),
+            Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("canon_id"))
+          .join(docs.select(col("doc_id"), col("conv_id")).hint("merge"), "doc_id")
+        println(s"[scratch] verdicts=${v.count()}") }
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SCRATCH_MODE").contains("dedupverify")) {
+      // sub-phase attribution of the Jaccard verify join (the 85% slice
+      // of dedupstage): shingle materialization vs count-prefilter vs
+      // the wide pair join
+      import org.apache.spark.sql.functions._
+      val base = Main.loadTurns(spark, s"synthdup:$nTurns")
+      val docs = graft.ops.ConversationDedup.conversationDocs(base)
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      val sigs = graft.ops.Dedup.minHashSignatures(docs).localCheckpoint(true)
+      val cand = graft.ops.Dedup.minHashCandidates(sigs, rowsPerBand = 4,
+        maxBucketSize = 256, minEstimate = 0.5).localCheckpoint(true)
+      println(s"[scratch] candidates=${cand.count()}")
+      def force(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      time("v1_shingle_scan_all_docs") {
+        force(docs.select(col("doc_id"), graft.ops.Dedup.shingles(col("text")).as("sh"))) }
+      time("v2_shingle_size_all_docs") {
+        force(docs.select(col("doc_id"),
+          size(graft.ops.Dedup.shingles(col("text"))).as("n_sh"))) }
+      val ids = cand.select(col("doc_a").as("doc_id"))
+        .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+      println(s"[scratch] participants=${ids.count()}")
+      time("v3_full_verify_current") {
+        force(graft.ops.Dedup.ngramJaccard(docs, cand, minJaccard = 0.9)
+          .filter(col("jaccard") >= 0.9)) }
+      time("v4_verify_pruned_docs") {
+        val pruned = docs.join(ids.hint("merge"), Seq("doc_id"), "left_semi")
+        force(graft.ops.Dedup.ngramJaccard(pruned, cand, minJaccard = 0.9)
+          .filter(col("jaccard") >= 0.9)) }
+      time("v5_verify_hashed_shingles") {
+        val sh64 = docs.select(col("doc_id"),
+          transform(graft.ops.Dedup.shingles(col("text")), s => xxhash64(s)).as("sh"))
+        val j = cand
+          .join(sh64.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")).hint("merge"), "doc_a")
+          .join(sh64.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")).hint("merge"), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1))).as("jaccard"))
+        force(j.filter(col("jaccard") >= 0.9)) }
+      spark.stop()
+      return
+    }
     if (sys.env.get("SCRATCH_MODE").contains("parts")) {
       // partitioning audit of the materialized stage boundaries — a
       // 1-partition checkpoint is a serialization point (one 136s task

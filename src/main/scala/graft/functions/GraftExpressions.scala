@@ -90,6 +90,67 @@ object GraftExpressions {
     out
   }
 
+  /** Sorted distinct 64-bit hashes of the k-CODEPOINT character
+    * shingles of the normalized text (lowercase, each whitespace run
+    * collapsed to one space, no trim — bit-parity with the Column
+    * formulation `regexp_replace(lower(text), "\\s+", " ")` +
+    * substr windows). A document shorter than k codepoints yields its
+    * single whole-text shingle, like `substr` past the end. Hash is
+    * FNV-1a 64 over the window's UTF-16 chars: distinct windows map to
+    * distinct hashes w.h.p. (collision ≈ |shingles|²/2⁶⁴ corpus-wide),
+    * so SET sizes — and therefore Jaccard values — equal the exact
+    * string-set formulation. */
+  private[functions] def shingles64(text: UTF8String, k: Int): GenericArrayData = {
+    val raw = text.toLowerCase.toString
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    var inWs = false
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
+      if (isWs) { if (!inWs) sb.append(' '); inWs = true }
+      else { sb.append(c); inWs = false }
+      i += 1
+    }
+    val n = sb.length
+    // codepoint start offsets (char index of each codepoint, plus end)
+    var cp = 0
+    val starts = new Array[Int](n + 1)
+    var p = 0
+    while (p < n) {
+      starts(cp) = p
+      p += (if (Character.isHighSurrogate(sb.charAt(p)) && p + 1 < n &&
+        Character.isLowSurrogate(sb.charAt(p + 1))) 2 else 1)
+      cp += 1
+    }
+    starts(cp) = n
+    val m = math.max(cp - k + 1, 1)
+    val hs = new Array[Long](m)
+    var w = 0
+    while (w < m) {
+      val from = starts(math.min(w, cp))
+      val until = starts(math.min(w + k, cp))
+      var h = 0xcbf29ce484222325L
+      var q = from
+      while (q < until) {
+        h ^= sb.charAt(q).toLong
+        h *= 0x100000001b3L
+        q += 1
+      }
+      hs(w) = h
+      w += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = 0
+    var r = 0
+    while (r < m) {
+      if (r == 0 || hs(r) != hs(r - 1)) { hs(out) = hs(r); out += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, out))
+  }
+
   private[functions] def toDouble(a: ArrayData, et: DataType, i: Int): Double = et match {
     case FloatType => a.getFloat(i).toDouble
     case DoubleType => a.getDouble(i)
@@ -185,4 +246,44 @@ case class LshBucketExpr(child: Expression, nBits: Int, seed: Int)
   }
   override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
     copy(child = newChild)
+}
+
+/** graft_shingles64(text, k) → array<bigint>: sorted distinct hashed
+  * char-k shingles (see [[GraftExpressions.shingles64]]) — the
+  * corpus-scale replacement for materializing string shingle arrays
+  * (~5× text bytes per row through every verify-join shuffle). */
+case class Shingles64Expr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"k=$k < 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingles64"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExpressions.shingles64(input.asInstanceOf[UTF8String], k)
+  override protected def withNewChildInternal(newChild: Expression): Shingles64Expr =
+    copy(child = newChild)
+}
+
+/** graft_jaccard64(a, b) → double: Jaccard |A∩B| / max(|A∪B|, 1) of
+  * two SORTED DISTINCT bigint arrays (the [[Shingles64Expr]] output
+  * contract) via a single merge pass — no per-element interpreted
+  * array_intersect/array_union. Unsorted input is a caller bug and
+  * yields an undercounted intersection. */
+case class Jaccard64Expr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard64"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val (xv, yv) = (x.getLong(i), y.getLong(j))
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    inter.toDouble / math.max(nx + ny - inter, 1)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Jaccard64Expr =
+    copy(left = l, right = r)
 }

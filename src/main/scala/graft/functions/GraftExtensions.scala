@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSimExpr(args.head, args(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_shingles64"),
+      new ExpressionInfo(classOf[Shingles64Expr].getName, "graft_shingles64"),
+      (args: Seq[Expression]) => Shingles64Expr(args.head, intLit(args(1), "k"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaccard64"),
+      new ExpressionInfo(classOf[Jaccard64Expr].getName, "graft_jaccard64"),
+      (args: Seq[Expression]) => Jaccard64Expr(args.head, args(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucketExpr].getName, "graft_lsh_bucket"),
       (args: Seq[Expression]) => LshBucketExpr(args.head,

@@ -748,6 +748,43 @@ class OpsSpec extends AnyFunSuite {
     assert(!frames.contains("img"))
   }
 
+  test("hashed shingle jaccard ≡ exact string-set jaccard (incl. unicode/ws/short docs)") {
+    import spark.implicits._
+    // exercise the normalization corners the kernel reimplements:
+    // case folding, \s+ runs (tab/newline, NO trim), docs shorter than
+    // k, empty text, non-ASCII codepoints, and a genuine near-dup
+    val d = docs(
+      1L -> "The  Quick\tBrown\nFox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "ab",
+      4L -> "",
+      5L -> "héllo wörld — naïve café résumé über straße",
+      6L -> "héllo wörld — naïve café résumé über strasse",
+      7L -> " leading and trailing spaces matter here ")
+    val pairs = Seq((1L, 2L), (1L, 3L), (3L, 4L), (5L, 6L), (2L, 7L), (1L, 7L))
+      .toDF("doc_a", "doc_b")
+    // exact reference: the string-set Column formulation kept in
+    // Dedup.shingles
+    val ref = d.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val exact = pairs
+      .join(ref.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(ref.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1))).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val hashed = Dedup.ngramJaccard(d, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(hashed.keySet == exact.keySet)
+    for ((k, v) <- exact) assert(hashed(k) == v, s"pair $k: hashed=${hashed(k)} exact=$v")
+    // and the hashed set sizes equal the string set sizes per doc
+    val nStr = ref.select(col("doc_id"), size(col("sh")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nHash = d.select(col("doc_id"), size(Dedup.hashedShingles(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(nStr == nHash)
+  }
+
   test("ngramJaccard length prefilter: same verified pairs, sound bound only") {
     import spark.implicits._
     // ~130 chars so a one-word edit stays j ≈ 0.89 ≥ τ
