@@ -48,20 +48,27 @@ class SnapshotStore(val root: String) {
     * `fingerprint` records the config/input identity the snapshot was
     * built under; [[getOrCreate]] refuses to resume across a
     * fingerprint change. */
-  def write(stage: String, df: DataFrame, fingerprint: String = ""): Long = {
+  def write(stage: String, df: DataFrame, fingerprint: String = "",
+      builderWallMs: Long = 0L): Long = {
     // monotonic per stage: two writes within one millisecond (e.g. a
     // fingerprint-invalidated recompute of a tiny stage) must not
     // collide on directory + manifest key
     val snapId = math.max(current(stage).map(_ + 1L).getOrElse(0L),
       System.currentTimeMillis())
     val dir = s"$root/$stage/snap-$snapId"
-    // wall_ms covers forcing the stage's computation (the parquet write
-    // is the single action that executes the builder plan) — the
-    // manifest is thereby a per-stage wall/row profile of the run
+    // wall_ms covers forcing the stage's computation: the parquet write
+    // (the action that executes the returned plan) PLUS the builder's
+    // own wall (`builderWallMs`, timed by getOrCreate) — builders that
+    // run eager actions (localCheckpoints, guard counts: the dedup
+    // stage does most of its work there) would otherwise be invisible
+    // and the manifest's per-stage profile would under-credit them
+    // (observed: a 20M-turn dedup_canon stage credited 10.7 s of a
+    // ~22 min builder). The manifest is thereby a per-stage wall/row
+    // profile of the run.
     val t0 = System.nanoTime()
     df.withColumn("_pid", spark_partition_id())
       .write.mode("overwrite").parquet(dir)
-    val wallMs = (System.nanoTime() - t0) / 1000000L
+    val wallMs = builderWallMs + (System.nanoTime() - t0) / 1000000L
     val counts = df.sparkSession.read.parquet(dir)
       .groupBy(col("_pid")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
@@ -163,8 +170,10 @@ class SnapshotStore(val root: String) {
     read(spark, stage)
       .filter(_ => currentFingerprint(stage).contains(fingerprint))
       .getOrElse {
+        val t0 = System.nanoTime()
         val df = compute
-        write(stage, df, fingerprint)
+        write(stage, df, fingerprint,
+          builderWallMs = (System.nanoTime() - t0) / 1000000L)
         // the builder frame is DEAD after the write (all consumers read
         // the parquet snapshot back) — release any localCheckpoint
         // blocks its plan pinned, or a long session running many stages
