@@ -97,8 +97,11 @@ object Containers {
       case ("moov", mf, mu) =>
         walkBoxes(b, mf, mu) {
           case ("mvhd", f, u) =>
-            require(u - f >= 20, "truncated mvhd")
             val v = b(f) & 0xff
+            // v1 carries 64-bit times: duration occupies f+24..31, so a
+            // v1 box needs 32 payload bytes — checking only 20 would let
+            // be64 read into the next box and return garbage as ok=true
+            require(u - f >= (if (v == 1) 32 else 20), "truncated mvhd")
             if (v == 1) { movieTimescale = be32(b, f + 20); movieDuration = be64(b, f + 24) }
             else { movieTimescale = be32(b, f + 12); movieDuration = be32(b, f + 16) }
             require(movieTimescale > 0, "zero mvhd timescale")
@@ -111,8 +114,9 @@ object Containers {
               case ("mdia", df, du) =>
                 walkBoxes(b, df, du) {
                   case ("mdhd", f, u) =>
-                    require(u - f >= 20, "truncated mdhd")
                     val v = b(f) & 0xff
+                    // same v1 64-bit-time layout as mvhd
+                    require(u - f >= (if (v == 1) 32 else 20), "truncated mdhd")
                     if (v == 1) { ts = be32(b, f + 20); dur = be64(b, f + 24) }
                     else { ts = be32(b, f + 12); dur = be32(b, f + 16) }
                     require(ts > 0, "zero mdhd timescale")
@@ -235,8 +239,23 @@ object Containers {
       val (id, idLen) = readVint(b, o, keepMarker = true)
       val (sz, szLen) = readVint(b, o + idLen, keepMarker = false)
       val df = o + idLen + szLen
-      val du = df + sz.toInt
-      require(sz >= 0 && du <= until, s"truncated EBML element ${id.toHexString}")
+      // size arithmetic stays Long end-to-end: a 32-bit truncation here
+      // once let a crafted 8-byte size make du == o, and the walk spun
+      // the executor task forever instead of throwing into the per-row
+      // failure capture. Forward progress is structural (df > o, sz ≥ 0).
+      // "Unknown size" (all value bits 1 — legal on master elements in
+      // live-streamed Matroska) extends the element to the enclosing
+      // bound; on a non-master element it is a parse error.
+      val unknownSz = sz == (1L << (7 * szLen)) - 1
+      val duL = if (unknownSz) until.toLong else df.toLong + sz
+      require(duL <= until, s"truncated EBML element ${id.toHexString}")
+      if (unknownSz) id match {
+        case EbmlHeader | Segment | Info | Tracks | Cues | TrackEntry |
+            CuePoint => ()
+        case other => throw new IllegalArgumentException(
+          s"unknown-size EBML element ${other.toHexString} is not a master")
+      }
+      val du = duL.toInt
       id match {
         case EbmlHeader | Segment | Info | Tracks | Cues =>
           walkEbml(b, df, du, st, inTrackEntry = false, inCuePoint = false)
@@ -371,8 +390,14 @@ object Containers {
 
   /** ADTS AAC: 12-bit sync + layer 00 + a valid sampling index. */
   def looksLikeAdts(b: Array[Byte]): Boolean =
-    b.length >= 7 && (b(0) & 0xff) == 0xff && (b(1) & 0xf6) == 0xf0 &&
-      ((b(2) >> 2) & 0xf) < AdtsRates.length
+    try {
+      // sniff past a leading ID3v2 tag, or an ID3-fronted ADTS file
+      // would sniff as "mp3" (ID3 is looksLikeMp3's first clause) and
+      // fail in the MP3 walk on the reserved layer bits
+      val o = id3v2End(b)
+      b.length >= o + 7 && (b(o) & 0xff) == 0xff && (b(o + 1) & 0xf6) == 0xf0 &&
+        ((b(o + 2) >> 2) & 0xf) < AdtsRates.length
+    } catch { case _: Exception => false }
 
   // MPEG audio tables (ISO/IEC 11172-3 / 13818-3)
   private val MpegRates = Array( // [versionBits][srIdx]
@@ -406,20 +431,32 @@ object Containers {
     * the REAL duration (VBR-correct — no bitrate×size estimate). A
     * trailing 128-byte ID3v1 "TAG" is tolerated; any other mid-stream
     * garbage throws (per-row failure capture upstream). */
-  def parseMp3(b: Array[Byte]): AudioMeta = {
-    var o = 0
+  /** Offset past a leading ID3v2 tag (0 if none) — both MP3 and ADTS
+    * files conventionally front one. */
+  private def id3v2End(b: Array[Byte]): Int =
     if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
       val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
         ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
-      o = 10 + sz + (if ((b(5) & 0x10) != 0) 10 else 0) // + footer
+      val o = 10 + sz + (if ((b(5) & 0x10) != 0) 10 else 0) // + footer
       require(o <= b.length, "ID3v2 size past payload")
-    }
+      o
+    } else 0
+
+  /** Payload end excluding a trailing 128-byte ID3v1 "TAG" block —
+    * tolerated identically by the MP3 and ADTS walks. */
+  private def id3v1Start(b: Array[Byte]): Int =
+    if (b.length >= 128 && b(b.length - 128) == 'T' &&
+        b(b.length - 127) == 'A' && b(b.length - 126) == 'G') b.length - 128
+    else b.length
+
+  def parseMp3(b: Array[Byte]): AudioMeta = {
+    var o = id3v2End(b)
+    val limit = id3v1Start(b)
     var frames = 0L; var micros = 0.0
     var rate = 0; var channels = 0
     val seek = scala.collection.mutable.ArrayBuffer.empty[Long]
     var nextSeekMs = 0L
-    while (o + 4 <= b.length &&
-        !(b.length - o == 128 && b(o) == 'T' && b(o + 1) == 'A' && b(o + 2) == 'G')) {
+    while (o + 4 <= limit) {
       require(validMp3Header(b, o), s"bad MPEG frame sync at $o")
       val h2 = b(o + 1) & 0xff; val h3 = b(o + 2) & 0xff; val h4 = b(o + 3) & 0xff
       val ver = (h2 >> 3) & 3           // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
@@ -434,7 +471,7 @@ object Containers {
       val len =
         if (layer == 1) (12 * kbps * 1000 / sr + padding) * 4
         else spf / 8 * kbps * 1000 / sr + padding
-      require(len > 4 && o + len <= b.length, s"truncated frame at $o (len $len)")
+      require(len > 4 && o + len <= limit, s"truncated frame at $o (len $len)")
       val ms = micros / 1000.0
       if (ms >= nextSeekMs) { seek += ms.toLong; nextSeekMs = (ms.toLong / 1000L + 1L) * 1000L }
       frames += 1; micros += spf * 1e6 / sr
@@ -453,12 +490,15 @@ object Containers {
     * sampling index, channel config, and the frame's own byte length;
     * every frame is 1024 PCM samples, so duration is exact. */
   def parseAdts(b: Array[Byte]): AudioMeta = {
-    var o = 0
+    // tolerate the same ID3v2 prologue / ID3v1 epilogue the MP3 walk
+    // does — real-world .aac files carry both tagging conventions
+    var o = id3v2End(b)
+    val limit = id3v1Start(b)
     var frames = 0L; var micros = 0.0
     var rate = 0; var channels = 0; var profile = "aac"
     val seek = scala.collection.mutable.ArrayBuffer.empty[Long]
     var nextSeekMs = 0L
-    while (o + 7 <= b.length) {
+    while (o + 7 <= limit) {
       require((b(o) & 0xff) == 0xff && (b(o + 1) & 0xf6) == 0xf0,
         s"bad ADTS sync at $o")
       val h3 = b(o + 2) & 0xff; val h4 = b(o + 3) & 0xff
@@ -466,7 +506,7 @@ object Containers {
       val srIdx = (h3 >> 2) & 0xf
       require(srIdx < AdtsRates.length, s"bad ADTS sampling index $srIdx")
       val len = ((h4 & 3) << 11) | (h5 << 3) | ((h6 >> 5) & 7)
-      require(len >= 7 && o + len <= b.length, s"truncated ADTS frame at $o (len $len)")
+      require(len >= 7 && o + len <= limit, s"truncated ADTS frame at $o (len $len)")
       rate = AdtsRates(srIdx)
       channels = ((h3 & 1) << 2) | ((h4 >> 6) & 3)
       profile = AdtsProfiles((h3 >> 6) & 3)
@@ -475,7 +515,7 @@ object Containers {
       frames += 1; micros += 1024.0 * 1e6 / rate
       o += len
     }
-    require(frames > 0 && o == b.length, "no/truncated ADTS frames")
+    require(frames > 0 && o == limit, "no/truncated ADTS frames")
     AudioMeta(profile, (micros / 1000.0).toLong, rate, channels, frames, seek.toSeq)
   }
 
@@ -592,20 +632,32 @@ object Containers {
     vs.foreach(v => out.putInt(v.toInt))
     out.array()
   }
+  private def u64(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putLong(v).array()
 
   /** Minimal valid MP4: ftyp + moov(mvhd, trak(tkhd, mdia(mdhd, hdlr,
     * minf(stbl(stsd avc1, stts, stss, stsz, stco))))) + mdat. The
     * sample tables are REAL: `fps` samples/s for `durationS` seconds,
     * sync samples every `keyEvery` samples. */
   def syntheticMp4(durationS: Int = 4, fps: Int = 10, keyEvery: Int = 10,
-      timescale: Int = 1000): Array[Byte] = {
+      timescale: Int = 1000, version1: Boolean = false): Array[Byte] = {
     val nSamples = durationS * fps
     val delta = timescale / fps
     val syncs = (1 to nSamples by keyEvery).map(_.toLong)
-    val mvhd = box("mvhd", u32(0L /*v0+flags*/, 0L, 0L, timescale,
-      durationS.toLong * timescale, 0x00010000L, 0L), // rate, volume+reserved
-      new Array[Byte](76)) // matrix + predefined + next_track_id padding
-    val mdhd = box("mdhd", u32(0L, 0L, 0L, timescale, durationS.toLong * timescale, 0L))
+    val dur = durationS.toLong * timescale
+    // version1 exercises the 64-bit-time mvhd/mdhd layout (timescale at
+    // +20, duration at +24..31)
+    val mvhd =
+      if (version1) box("mvhd", u32(0x01000000L), new Array[Byte](16), // ctime+mtime
+        u32(timescale.toLong), u64(dur), u32(0x00010000L, 0L),
+        new Array[Byte](76))
+      else box("mvhd", u32(0L /*v0+flags*/, 0L, 0L, timescale,
+        dur, 0x00010000L, 0L), // rate, volume+reserved
+        new Array[Byte](76)) // matrix + predefined + next_track_id padding
+    val mdhd =
+      if (version1) box("mdhd", u32(0x01000000L), new Array[Byte](16),
+        u32(timescale.toLong), u64(dur), u32(0L))
+      else box("mdhd", u32(0L, 0L, 0L, timescale, dur, 0L))
     val hdlr = box("hdlr", u32(0L, 0L), "vide".getBytes("US-ASCII"),
       new Array[Byte](13)) // reserved + empty name
     val stsd = box("stsd", u32(0L, 1L), box("avc1", new Array[Byte](8)))
@@ -641,7 +693,8 @@ object Containers {
   /** Minimal valid WebM/Matroska: EBML header + Segment(Info(
     * TimestampScale, Duration), Tracks(video V_VP9 + audio A_OPUS),
     * Cues(CuePoint(CueTime)…)). Cue times every `cueEveryMs`. */
-  def syntheticWebm(durationMs: Long = 4000L, cueEveryMs: Long = 1000L): Array[Byte] = {
+  def syntheticWebm(durationMs: Long = 4000L, cueEveryMs: Long = 1000L,
+      unknownSegmentSize: Boolean = false): Array[Byte] = {
     val tsScale = 1000000L // 1ms ticks (the Matroska default)
     val info = ebmlEl(Info,
       ebmlEl(TimestampScale, ebmlUint(tsScale, 3)),
@@ -658,7 +711,12 @@ object Containers {
       (0L until durationMs by cueEveryMs).map(t =>
         ebmlEl(CuePoint, ebmlEl(CueTime, ebmlUint(t, 4)))).toArray.flatten)
     val header = ebmlEl(EbmlHeader, Array.emptyByteArray)
-    header ++ ebmlEl(Segment, info, tracks, cues)
+    if (unknownSegmentSize) {
+      // live-streamed WebM: the Segment's size vint is the reserved
+      // all-ones "unknown size" form — the element extends to EOF
+      val body = Array(info, tracks, cues).flatten
+      header ++ ebmlId(Segment) ++ Array.fill(8)(0xff.toByte).updated(0, 0x01.toByte) ++ body
+    } else header ++ ebmlEl(Segment, info, tracks, cues)
   }
 
   /** Minimal valid MP3: ID3v2 tag + MPEG-1 Layer III frames at 44.1 kHz

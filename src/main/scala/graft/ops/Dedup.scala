@@ -111,7 +111,13 @@ object Dedup {
     // when the caller passes an unpersisted frame — harmless at sf0.1,
     // 8× the dominant compute at corpus scale. After the checkpoint the
     // banding plan contains zero kernel invocations (PlanSpec asserts).
-    val compact = guarded.select(col("doc_id"), col("signature"))
+    // sigh (full-signature hash, the hot-bucket star-link key below) is
+    // computed ONCE here and stored (8 B/row) rather than inside each of
+    // the B band branches, which would stringify+hash the 16-element
+    // signature B× per doc on every scan of the checkpoint
+    val compact = guarded.select(col("doc_id"), col("signature"),
+        xxhash64(col("signature").cast("array<string>").cast("string"))
+          .as("sigh"))
       .localCheckpoint(true)
     val bands = (0 until numHashes / rowsPerBand).map { b =>
       compact.select(
@@ -119,9 +125,7 @@ object Dedup {
         lit(b).as("band"),
         xxhash64(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)
           .cast("array<string>").cast("string"), lit(b)).as("bucket"),
-        // full-signature hash — the hot-bucket star-link key below
-        xxhash64(col("signature").cast("array<string>").cast("string"))
-          .as("sigh"))
+        col("sigh"))
     }.reduce(_ unionByName _)
     // HOT-BUCKET CAP. The bucket self-join is |bucket|² per bucket: on
     // boilerplate-heavy corpora (templated fillers here, nav chrome /

@@ -443,7 +443,9 @@ object Multimodal {
     * flatMap, not Column explode: the container walk is a JVM kernel
     * either way, and per-row failure falls through to the stride path
     * rather than killing the job (fail.log semantics). */
-  def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame = {
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000L,
+      maxFramesPerDoc: Int = 100000): DataFrame = {
+    require(everyMs > 0, s"everyMs=$everyMs must be positive")
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(col("modality") === "video")
@@ -453,7 +455,16 @@ object Multimodal {
         val meta = Containers.probe(id, payload)
         val times: Seq[Long] =
           if (meta.ok && meta.keyframes_ms.nonEmpty) meta.keyframes_ms
-          else 0L to math.max(durMs - 1, 0L) by everyMs
+          else {
+            // duration_ms is UNTRUSTED upstream metadata on exactly the
+            // rows that take this fallback (the container didn't parse):
+            // cap the stride fan-out so a corrupt Long.MaxValue duration
+            // can't build a >2^31-element range and kill the job this
+            // method's fail-through contract promises to survive
+            val n = math.min(math.max(durMs - 1, 0L) / everyMs + 1L,
+              maxFramesPerDoc.toLong)
+            (0L until n).map(_ * everyMs)
+          }
         times.map(t => (id, t, payload))
       }
       .toDF("media_id", "frame_ms", "payload")

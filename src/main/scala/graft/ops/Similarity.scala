@@ -289,17 +289,22 @@ object Similarity {
   def cosinePairs(embeddings: DataFrame, threshold: Double = 0.95,
       nBits: Int = 0, nBands: Int = 6, probeHamming: Int = 1,
       seed: Int = 42): DataFrame = {
-    val bits = if (nBits > 0) nBits else autoBits(embeddings.count())
-    // one kernel eval per (vector, band): the compact projection with
-    // every band's bucket id is checkpointed once; both join sides and
-    // the verify stage scan the materialized longs, never the kernels
-    val b = embeddings.select(col("vec_id"), col("embedding"),
-        array((0 until nBands).map(bd =>
-          call_function("graft_lsh_bucket", col("embedding"), lit(bits),
-            lit(seed + bd * 7919))): _*).as("buckets"))
+    // materialize the caller's upstream plan exactly ONCE before
+    // anything else: the auto-nBits count() below would otherwise
+    // execute an expensive un-materialized embedding frame a second
+    // full time (count, then checkpoint)
+    val raw = embeddings.select(col("vec_id"), col("embedding"))
       .localCheckpoint(true)
-    val slim = b.select(col("vec_id"),
-      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val bits = if (nBits > 0) nBits else autoBits(raw.count())
+    // one kernel eval per (vector, band): the slim exploded
+    // (vec_id, band, bucket) longs are checkpointed once; both join
+    // sides scan the materialized longs, never the kernels, and the
+    // verify stage joins embeddings back from `raw`
+    val slim = raw.select(col("vec_id"),
+        posexplode(array((0 until nBands).map(bd =>
+          call_function("graft_lsh_bucket", col("embedding"), lit(bits),
+            lit(seed + bd * 7919))): _*)).as(Seq("band", "bucket")))
+      .localCheckpoint(true)
     // multi-probe one side only: pair (a,b) collides iff
     // Hamming(bucket_a, bucket_b) ≤ h in some band — XOR-flipping side
     // a's bucket by every ≤h mask covers exactly that set
@@ -316,7 +321,7 @@ object Similarity {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    val emb = b.select(col("vec_id"), col("embedding"))
+    val emb = raw
     candPairs
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")).hint("merge"), "vec_a")
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")).hint("merge"), "vec_b")

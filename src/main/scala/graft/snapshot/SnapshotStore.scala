@@ -218,4 +218,47 @@ class SnapshotStore(val root: String) {
 
   /** All manifest entries (raw JSON) — metrics/lineage introspection. */
   def manifestEntries(): Seq[String] = readManifest()
+
+  /** Distinct stage names present in the manifest. */
+  def stages(): Seq[String] =
+    readManifest().flatMap { e =>
+      val k = e.indexOf("\"stage\":\"")
+      if (k < 0) None
+      else Some(e.substring(k + 9).takeWhile(_ != '"'))
+    }.distinct
+
+  /** Iceberg `expire_snapshots` semantics for a REPLACE-mode stage:
+    * delete every snapshot dir except the current one and drop the
+    * expired entries from the manifest. Time-travel to expired ids is
+    * gone; the current snapshot, its fingerprint, and therefore all
+    * resume behavior are untouched. Continuous maintainers
+    * ([[graft.streaming.IncrementalKg]]) call this once per
+    * micro-batch — without it a long-lived stream retains one full KG
+    * copy (~20 stages) per batch, O(batches × KG) storage on a stable
+    * corpus. APPEND-mode stages (ke_log) must never be expired: their
+    * old snapshots ARE the data, not superseded versions. Returns the
+    * number of snapshots expired. */
+  def expire(stage: String): Int = {
+    val cur = current(stage)
+    val stale = snapshots(stage).filterNot(cur.contains)
+    stale.foreach { id =>
+      val dir = Paths.get(s"$root/$stage/snap-$id")
+      if (Files.exists(dir)) {
+        val walk = Files.walk(dir) // close: called per batch × stage
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.delete(p))
+        finally walk.close()
+      }
+    }
+    if (stale.nonEmpty) {
+      val keys = stale.map(id => s""""stage":"${esc(stage)}","snapshot":$id""").toSet
+      val keep = readManifest().filterNot(e => keys.exists(e.contains))
+      val json = "[" + keep.mkString(",") + "]"
+      val tmp = Paths.get(root, s".manifest.tmp.expire.${System.nanoTime()}")
+      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    stale.size
+  }
 }

@@ -29,7 +29,11 @@ import graft.snapshot.SnapshotStore
  * Clustering is a global fixpoint (a new mention can merge two old
  * clusters), so the cluster layer recomputes over the accumulated KE
  * rows — which are ~100× smaller than the transcripts themselves; the
- * expensive raw-text pass never re-runs. The fingerprint contract
+ * expensive raw-text pass never re-runs. Storage is O(corpus) too:
+ * after each rebuild the previous batch's superseded cluster-layer
+ * snapshots are expired ([[SnapshotStore.expire]]), so a long-lived
+ * stream keeps one KG plus the append-only KE log, not one KG copy
+ * per micro-batch. The fingerprint contract
  * gives idempotence: a re-delivered micro-batch (foreachBatch is
  * at-least-once after a restart) is detected by its `batch=<id>`
  * fingerprint on the log head and skipped, and a batch that appended
@@ -69,6 +73,12 @@ object IncrementalKg {
         // unchanged → every stage resumes from its snapshot
         val fp = s"$baseFp|ke_log=${store.current("ke_log").getOrElse(0L)}"
         Main.kgStages(spark, ke, store, fp, linkCfg)
+        // storage stays O(corpus), not O(batches × KG): every downstream
+        // stage just wrote a fresh snapshot under the new log-head
+        // fingerprint, so the previous batch's full-KG copies are
+        // superseded — expire them (Iceberg expire_snapshots). ke_log is
+        // the one APPEND-mode stage: its old snapshots are the data.
+        store.stages().filterNot(_ == "ke_log").foreach(store.expire)
         ()
       }
   }

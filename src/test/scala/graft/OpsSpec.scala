@@ -697,6 +697,67 @@ class OpsSpec extends AnyFunSuite {
     assert(m.keyframes_ms == Seq(1000L, 2000L, 3000L, 4000L))
   }
 
+  test("MP4 v1 (64-bit-time) mvhd/mdhd layout parses; short v1 boxes fail, not garbage") {
+    val m = Containers.probe("v1b", Containers.syntheticMp4(
+      durationS = 4, fps = 10, keyEvery = 10, version1 = true))
+    assert(m.ok, s"parse failed: ${m.error}")
+    assert(m.duration_ms == 4000L)
+    assert(m.keyframes_ms == Seq(0L, 1000L, 2000L, 3000L))
+    // a v1 mvhd whose payload is only 28 bytes (legal for v0, 4 short
+    // for v1's 64-bit duration) must be a captured parse error — the
+    // old 20-byte check let be64 read into the next box and return an
+    // arbitrary duration as ok=true
+    def bx(t: String, p: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + p.length)
+      bb.putInt(8 + p.length).put(t.getBytes("US-ASCII")).put(p).array()
+    }
+    val shortV1 = bx("moov", bx("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ new Array[Byte](24))) // v1 + 24 bytes
+    val ftyp = bx("ftyp", "isom".getBytes("US-ASCII"))
+    val bad = Containers.probe("v1s", ftyp ++ shortV1)
+    assert(!bad.ok && bad.error.contains("truncated mvhd"))
+  }
+
+  test("EBML walk: unknown-size Segment (streamed WebM) parses; crafted sizes fail fast") {
+    // the reserved all-ones "unknown size" on the Segment master
+    // element — standard in live-streamed WebM — extends to EOF
+    val live = Containers.probe("w1",
+      Containers.syntheticWebm(durationMs = 4000L, unknownSegmentSize = true))
+    assert(live.ok, s"parse failed: ${live.error}")
+    assert(live.duration_ms == 4000L && live.codecs == Seq("V_VP9", "A_OPUS"))
+    // crafted 8-byte size whose low 32 bits are negative: with the old
+    // Int truncation this made du == o and spun the walk forever; it
+    // must now throw into the per-row capture (this test HANGING is
+    // the regression signal)
+    val crafted = Array(0x1a, 0x45, 0xdf, 0xa3, // EBML header id
+      0x01, 0x00, 0x00, 0x01, 0xff, 0xff, 0xff, 0xf4, // sz.toInt == -12
+      0x00, 0x00, 0x00, 0x00).map(_.toByte)
+    val bad = Containers.probe("w2", crafted)
+    assert(!bad.ok && bad.error.contains("truncated EBML"))
+    // unknown size on a LEAF element is a parse error, not a misread:
+    // Segment(Info(TimestampScale<unknown size>))
+    val leaf = Array(0x1a, 0x45, 0xdf, 0xa3, 0x80, // EBML header, empty (1-byte size 0)
+      0x18, 0x53, 0x80, 0x67, 0x84, // Segment, size 4
+      0x2a, 0xd7, 0xb1, 0xff).map(_.toByte) // TimestampScale, unknown size
+    val badLeaf = Containers.probe("w3", leaf)
+    assert(!badLeaf.ok && badLeaf.error.contains("not a master"))
+  }
+
+  test("ADTS walk tolerates ID3v2 prologue and trailing ID3v1 TAG like the MP3 walk") {
+    val plain = Containers.probe("t0", Containers.syntheticAdts(durationS = 4))
+    // minimal ID3v2 header (10 bytes, size 0) + trailing 128-byte ID3v1
+    val id3v2 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 0)
+    val id3v1 = Array[Byte]('T', 'A', 'G') ++ new Array[Byte](125)
+    val tagged = Containers.probe("t1",
+      id3v2 ++ Containers.syntheticAdts(durationS = 4) ++ id3v1)
+    assert(tagged.ok, s"parse failed: ${tagged.error}")
+    assert(tagged.container == "adts") // not misrouted to mp3 by the ID3 sniff
+    assert(tagged.duration_ms == plain.duration_ms)
+    assert(tagged.keyframes_ms == plain.keyframes_ms)
+    // the MP3 walk's own both-tags tolerance is covered by the "MP3
+    // frame walk" test above — syntheticMp3 already carries ID3v2+ID3v1
+  }
+
   test("container probe captures truncated payloads PER ROW, never throws") {
     import spark.implicits._
     val mp4 = Containers.syntheticMp4()
@@ -738,13 +799,18 @@ class OpsSpec extends AnyFunSuite {
       ("real", "video", mp4, 999999L),
       // opaque payload: stride fallback over duration_ms
       ("raw", "video", Array.tabulate[Byte](32)(_.toByte), 2500L),
+      // CORRUPT metadata on an unparseable payload: the stride fan-out
+      // must hit the per-doc cap, not build a 2^63-element range
+      ("corrupt", "video", Array.tabulate[Byte](8)(_.toByte), Long.MaxValue),
       ("img", "image", Array.tabulate[Byte](16)(_.toByte), 0L))
       .toDF("media_id", "modality", "payload", "duration_ms")
-    val frames = Multimodal.sampleFrames(media, everyMs = 1000L).collect()
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000L,
+        maxFramesPerDoc = 5).collect()
       .groupBy(_.getString(0)).map { case (k, v) => k -> v.map(_.getLong(1)).sorted.toSeq }
     // keyEvery=5 at 10fps → syncs at samples 1,6,11,…,36 → 0,500,…,3500ms
     assert(frames("real") == (0L until 4000L by 500L).toSeq)
     assert(frames("raw") == Seq(0L, 1000L, 2000L))
+    assert(frames("corrupt") == Seq(0L, 1000L, 2000L, 3000L, 4000L)) // capped
     assert(!frames.contains("img"))
   }
 

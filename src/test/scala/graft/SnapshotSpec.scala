@@ -82,4 +82,27 @@ class SnapshotSpec extends AnyFunSuite {
     assert(computes == 2) // changed fp → recompute, never stale reuse
     assert(store.currentFingerprint("y").contains("threshold=0.80"))
   }
+
+  test("expire keeps only the current snapshot of a replace-mode stage") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap").toString
+    val store = new SnapshotStore(root)
+    val id1 = store.write("s", (1 to 10).toDF("v"), "fpA")
+    Thread.sleep(5)
+    val id2 = store.write("s", (1 to 20).toDF("v"), "fpB")
+    store.write("keepme", (1 to 3).toDF("v"))
+    assert(store.expire("s") == 1)
+    // current snapshot + fingerprint untouched → resume behavior intact
+    assert(store.current("s").contains(id2))
+    assert(store.currentFingerprint("s").contains("fpB"))
+    assert(store.read(spark, "s").get.count() == 20)
+    // expired id: dir deleted, manifest entry dropped, time-travel gone
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/s/snap-$id1")))
+    assert(store.snapshots("s") == Seq(id2))
+    assert(store.read(spark, "s", Some(id1)).isEmpty)
+    // other stages untouched; expire is idempotent
+    assert(store.read(spark, "keepme").get.count() == 3)
+    assert(store.expire("s") == 0)
+    assert(store.stages().toSet == Set("s", "keepme"))
+  }
 }

@@ -131,6 +131,12 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     // extraction log: exactly one DELTA snapshot per micro-batch
     assert(store.snapshots("ke_log").size == 2)
+    // storage is O(corpus), not O(batches × KG): batch 2 rebuilt every
+    // cluster-layer stage, and the maintainer expired batch 1's
+    // superseded copies — one live snapshot per replace-mode stage,
+    // while the append-mode log above keeps both deltas
+    assert(store.snapshots("triples").size == 1)
+    assert(store.snapshots("memberships").size == 1)
     // the maintained KG ≡ a clean batch run over the union corpus —
     // ids are content-derived, so set equality is exact
     val ref = Pipeline.run(spark.createDataset(all.toIndexedSeq))
