@@ -282,6 +282,40 @@ object Scratch {
       spark.stop()
       return
     }
+    if (sys.env.get("SCRATCH_MODE").contains("kewrite")) {
+      // attribute the ke snapshot stage (the 20M --dedup profile's
+      // dominant 203s): synth+extract vs the 71M-row parquet write, and
+      // the write under each codec — D-A-D-A within one JVM so the
+      // comparison is weather-fair. Codec choice is a 100TB design
+      // point: tmpfs here, HDFS/S3 there.
+      val ke = Main.extractKe(turns)
+      for (round <- 1 to 2; codec <- Seq("snappy", "zstd", "lz4", "uncompressed")) {
+        spark.conf.set("spark.sql.parquet.compression.codec", codec)
+        val dir = s"/tmp/scratch-ke-$codec"
+        time(s"ke_write_${codec}_r$round") {
+          ke.write.mode("overwrite").parquet(dir)
+        }
+        val bytes = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+        println(f"[scratch] ke_${codec}_bytes=${bytes / 1e6}%.1fMB")
+      }
+      time("ke_compute_only_noop") {
+        ke.write.format("noop").mode("overwrite").save()
+      }
+      time("ke_compute_only_noop_2") {
+        ke.write.format("noop").mode("overwrite").save()
+      }
+      // read-back matters more than write: downstream stages scan the
+      // ke snapshot 4-5× (mentions/statements/events/eventArgs views)
+      for (round <- 1 to 2; codec <- Seq("snappy", "zstd", "lz4", "uncompressed")) {
+        val df = spark.read.parquet(s"/tmp/scratch-ke-$codec")
+        time(s"ke_read_${codec}_r$round") {
+          df.write.format("noop").mode("overwrite").save()
+        }
+      }
+      spark.stop()
+      return
+    }
     if (sys.env.get("SCRATCH_MODE").contains("bench")) {
       val n = time("pipeline_end_to_end") {
         Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = cores * 2))

@@ -32,6 +32,12 @@ object Sessions {
       // parallelize even when the input is a few MB
       .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
       .config("spark.sql.files.openCostInBytes", "65536")
+      // zstd snapshots: measured D-A-D-A on the 17.9M-row ke frame
+      // (BASELINE.md round-5) — 41% smaller than snappy (577 vs 972 MB)
+      // at identical steady-state write AND read-back wall on tmpfs;
+      // on a real cluster the snapshot/shuffle bytes are network+disk,
+      // so the size win is the wall win
+      .config("spark.sql.parquet.compression.codec", "zstd")
       // local-mode shuffle hygiene: many small shuffles × many tasks →
       // file create/flush dominates on slow container disks. Spill to
       // tmpfs when present and skip compressing tiny local blocks.
