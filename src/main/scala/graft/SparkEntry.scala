@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.canon.{EventCoref, Justifications, RelationClusters}
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Clean, Dedup, Multimodal, Similarity, TextStats}
 import graft.schema.{Membership, Mention, Prototype, Statement}
 import graft.synth.TranscriptSynth
 
@@ -215,6 +215,30 @@ object SparkEntry {
     "q_near_dup_groups" -> ((s, d) => // LSH→jaccard→CC dedup grouping
       Dedup.nearDupClusters(t(s, d, "documents"))
         .orderBy(col("doc_id"))),
+    // ---- corpus-cleaning ops (Clean.scala). The synthetic documents
+    // are single-line word soup, so the queries PLANT deterministic
+    // boilerplate/PII inline (same pattern as q_cosine_pairs_lsh's
+    // planted near-dups): both engines derive the identical dirty
+    // corpus, and the operator's whole pipeline (explode → df → strip
+    // → ordered rebuild) is what the hash checks.
+    "q_boilerplate_lines" -> ((s, d) => // line df inventory at minDf=40
+      Clean.boilerplateLines(plantedBoilerplate(t(s, d, "documents")), 40L)
+        .select(col("norm"), col("df"))),
+    "q_strip_boilerplate" -> ((s, d) => // C4-style boilerplate removal:
+      // header (all docs) + newsletter (docs ≡ 0 mod 10) lines dropped,
+      // the two real text halves re-joined in original order
+      Clean.stripBoilerplate(plantedBoilerplate(t(s, d, "documents")), 40L)),
+    "q_repetition_ngrams" -> ((s, d) => // Gopher duplicate-bigram signal
+      Clean.repetitionStats(t(s, d, "documents"))),
+    "q_pii_redact" -> ((s, d) => // email/IPv4/phone redaction over docs
+      // salted with deterministic per-doc PII so every row exercises
+      // all three patterns
+      Clean.redactPii(plantedPii(t(s, d, "documents")))
+        .select(col("doc_id"), col("clean_text"))),
+    "q_dedup_doc_lines" -> ((s, d) => // within-doc exact line dedup:
+      // doc text split into 3 lines with the middle line duplicating
+      // the first 30 chars of the head — planted repeat, first kept
+      Clean.dedupDocLines(plantedRepeatLines(t(s, d, "documents")))),
     "q_ann_topk" -> ((s, d) => { // brute-force cosine top-k
       val e = t(s, d, "embeddings")
       val q = e.filter(col("vec_id") === 0).select(col("embedding"))
@@ -383,6 +407,37 @@ object SparkEntry {
     * DuckDB-replicable harness for the cluster-op oracle queries:
     * each event row is a "statement" (subj = user, obj = the JSON k
     * payload), memberships assign both ends to mod-50 buckets. */
+  /** Deterministic "dirty" corpus for the boilerplate rows: a shared
+    * header line spliced into the MIDDLE of every doc (so the rebuild
+    * must preserve the order of the two real halves around it) and a
+    * newsletter line appended to docs ≡ 0 (mod 10). Mirrored verbatim
+    * in the DuckDB oracle SQL. */
+  private def plantedBoilerplate(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      substring(col("text"), 1, 50), lit("\n"),
+      lit("generated by example corp all rights reserved"), lit("\n"),
+      expr("substring(text, 51)"),
+      when(col("doc_id") % 10 === 0,
+        lit("\nsubscribe to our newsletter for updates")).otherwise(lit("")))
+      .as("text"))
+
+  /** Deterministic per-doc PII suffix: one email, one IPv4, one
+    * US-style phone per row, all doc_id-derived. */
+  private def plantedPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"),
+      lit(" call 555-86"), (col("doc_id") % 10).cast("string"), lit("-5309 now"))
+      .as("text"))
+
+  /** Deterministic within-doc repeated line: head(30) appears as both
+    * line 0 and line 2 — the dedup must keep the first occurrence. */
+  private def plantedRepeatLines(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      substring(col("text"), 1, 30), lit("\n"),
+      expr("substring(text, 31)"), lit("\n"),
+      substring(col("text"), 1, 30)).as("text"))
+
   private def fabricatedStatements(s: SparkSession, d: String): (Dataset[Statement], Dataset[Membership]) = {
     import s.implicits._
     // defensively drop NULL-keyed payload rows on BOTH the Spark
@@ -610,6 +665,107 @@ object SparkEntry {
         |       round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
         |             / greatest(length(list_distinct(list_concat(a.s, b.s))), 1), 4) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    // corpus-cleaning ops: the dirty corpus is derived IDENTICALLY in
+    // both engines (planted header/newsletter/PII — see
+    // plantedBoilerplate/plantedPii/plantedRepeatLines above)
+    "q_boilerplate_lines" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |         substr(text, 1, 50) || chr(10) ||
+        |         'generated by example corp all rights reserved' || chr(10) ||
+        |         substr(text, 51) ||
+        |         CASE WHEN doc_id % 10 = 0
+        |              THEN chr(10) || 'subscribe to our newsletter for updates'
+        |              ELSE '' END AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, trim(lower(unnest(string_split(text, chr(10))))) AS norm
+        |  FROM dirty)
+        |SELECT norm, count(DISTINCT doc_id) AS df
+        |FROM lines WHERE norm <> ''
+        |GROUP BY norm HAVING count(DISTINCT doc_id) >= 40""".stripMargin,
+    "q_strip_boilerplate" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |         substr(text, 1, 50) || chr(10) ||
+        |         'generated by example corp all rights reserved' || chr(10) ||
+        |         substr(text, 51) ||
+        |         CASE WHEN doc_id % 10 = 0
+        |              THEN chr(10) || 'subscribe to our newsletter for updates'
+        |              ELSE '' END AS text
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, unnest(list_transform(string_split(text, chr(10)),
+        |           (x, i) -> {'idx': i, 'line': x})) AS u
+        |  FROM dirty),
+        |lines AS (
+        |  SELECT doc_id, u.idx AS idx, u.line AS line,
+        |         trim(lower(u.line)) AS norm
+        |  FROM ex),
+        |bp AS (
+        |  SELECT norm FROM lines WHERE norm <> ''
+        |  GROUP BY norm HAVING count(DISTINCT doc_id) >= 40),
+        |kept AS (
+        |  SELECT doc_id, idx, line FROM lines
+        |  WHERE norm NOT IN (SELECT norm FROM bp)),
+        |reb AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(reb.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN reb USING (doc_id)""".stripMargin,
+    "q_repetition_ngrams" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(
+        |           regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |           x -> x <> '') AS ws
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(ws[2:], (x, i) -> ws[i] || ' ' || x)) AS bigram
+        |  FROM w WHERE len(ws) >= 2),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n, count(DISTINCT bigram) AS nd
+        |  FROM bg GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |       CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(coalesce(agg.n - agg.nd, 0) AS BIGINT) AS n_dup
+        |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q_pii_redact" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |              || ' call 555-86' || CAST(doc_id % 10 AS VARCHAR) || '-5309 now' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS clean_text
+        |FROM dirty""".stripMargin,
+    "q_dedup_doc_lines" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |         substr(text, 1, 30) || chr(10) || substr(text, 31) ||
+        |         chr(10) || substr(text, 1, 30) AS text
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, unnest(list_transform(string_split(text, chr(10)),
+        |           (x, i) -> {'idx': i, 'line': x})) AS u
+        |  FROM dirty),
+        |lines AS (
+        |  SELECT doc_id, u.idx AS idx, u.line AS line,
+        |         trim(lower(u.line)) AS norm
+        |  FROM ex),
+        |kept AS (
+        |  SELECT doc_id, idx, line FROM (
+        |    SELECT doc_id, idx, line, norm,
+        |           row_number() OVER (PARTITION BY doc_id, norm ORDER BY idx) AS rn
+        |    FROM lines) r
+        |  WHERE rn = 1 OR norm = '')
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text
+        |FROM kept GROUP BY doc_id""".stripMargin,
     "q_relation_clusters" ->
       """WITH s AS (
         |  SELECT CAST(event_id AS VARCHAR) AS stmt_id,

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-cleaning operators for large-scale training-data pipelines
+ * over a `documents(doc_id, text)` table — the standard pre-training
+ * hygiene passes (C4/RefinedWeb-style boilerplate-line removal,
+ * Gopher-style duplicate-n-gram repetition signals, PII redaction),
+ * complementing the dedup ([[Dedup]]) and quality ([[TextStats]])
+ * operators.
+ *
+ * Everything is built-in Column expressions and plain aggregations
+ * (whole-stage codegen, no UDFs). Scale shape, per operator:
+ *
+ *  - boilerplate detection is ONE distinct + ONE count shuffle over
+ *    (norm_line, doc_id) pairs — line strings ride the shuffle once;
+ *    the removal anti-join keys on the line STRING, not a hash (a
+ *    64-bit collision in an anti-join would silently DROP a
+ *    legitimate line from the corpus — correctness over key width);
+ *  - repetition stats are a pure per-row projection (no shuffle):
+ *    duplicate-bigram counting runs on array columns inside codegen;
+ *  - PII redaction is a chained per-row `regexp_replace` (no
+ *    shuffle), order fixed (email → IPv4 → phone) so downstream
+ *    consumers see deterministic precedence on overlapping matches.
+ */
+object Clean {
+
+  /** Documents exploded to (doc_id, line_idx, line) on `\n`,
+    * trailing empties preserved (split limit -1) so the rebuild in
+    * [[stripBoilerplate]] round-trips byte-identically. */
+  def docLines(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n", -1)).as(Seq("line_idx", "line")))
+
+  /** Per normalized (trim+lower) non-empty line: the number of
+    * DISTINCT documents containing it. Boilerplate = high-df lines.
+    * Two-phase: distinct (norm, doc_id) pairs first, then a count
+    * with map-side partial aggregation — never count(DISTINCT) in a
+    * single wide agg. */
+  def lineDocFrequency(docs: DataFrame): DataFrame =
+    docLines(docs)
+      .select(trim(lower(col("line"))).as("norm"), col("doc_id"))
+      .filter(col("norm") =!= "")
+      .distinct()
+      .groupBy(col("norm")).agg(count(lit(1)).as("df"))
+
+  /** Lines appearing in ≥ `minDf` distinct documents — the
+    * boilerplate inventory (C4 drops lines repeated ≥3× corpus-wide;
+    * the threshold scales with corpus size, so it is a parameter). */
+  def boilerplateLines(docs: DataFrame, minDf: Long): DataFrame =
+    lineDocFrequency(docs).filter(col("df") >= minDf)
+
+  /** Documents with boilerplate lines removed: every line whose
+    * normalized form appears in ≥ `minDf` distinct documents is
+    * dropped; remaining lines are re-joined in original order.
+    * Documents whose every line was boilerplate survive with
+    * clean_text = '' (left join back to the doc spine — a cleaning
+    * pass must not silently delete rows). Empty lines are never
+    * boilerplate (blank separators survive). */
+  def stripBoilerplate(docs: DataFrame, minDf: Long): DataFrame = {
+    val bp = boilerplateLines(docs, minDf).select(col("norm"))
+    val kept = docLines(docs)
+      .withColumn("norm", trim(lower(col("line"))))
+      .join(bp, Seq("norm"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("line_idx"), col("line"))))
+        .as("ordered"))
+      .select(col("doc_id"),
+        array_join(transform(col("ordered"), x => x.getField("line")), "\n")
+          .as("clean_text"))
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Gopher-style repetition signal: per document, the total and
+    * DUPLICATED word-bigram counts over the lowercased alnum word
+    * stream (a high duplicate fraction marks low-quality repetitive
+    * text). Counts, not a rounded ratio, so the row is
+    * engine-portable bit-for-bit; ratio = n_dup / n_bigrams. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val words = filter(
+      split(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "), " ", -1),
+      w => w =!= "")
+    val n = size(words)
+    val bigrams = zip_with(
+      slice(words, lit(1), greatest(n - 1, lit(0))),
+      slice(words, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    docs.select(col("doc_id"),
+        when(n < 2, lit(0)).otherwise(size(bigrams)).cast("long").as("n_bigrams"),
+        when(n < 2, lit(0))
+          .otherwise(size(bigrams) - size(array_distinct(bigrams)))
+          .cast("long").as("n_dup"))
+  }
+
+  // conservative patterns valid in BOTH Java regex (Spark) and RE2
+  // (DuckDB oracle): no backrefs, no lookaround
+  private[ops] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ops] val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[ops] val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII redaction: emails → `<EMAIL>`, IPv4 literals → `<IP>`,
+    * US-style phone numbers → `<PHONE>`. Order is significant and
+    * fixed (email first, so a dotted-numeric local part like
+    * `a1.2.3.44@example.com` redacts as ONE email instead of the IP
+    * pass carving `1.2.3.44` out of it; a numeric-host `a@1.2.3.4`
+    * is NOT an email under the alpha-TLD rule and redacts as
+    * `a@<IP>`). Purely per-row — no shuffle, stays inside
+    * whole-stage codegen. */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.withColumn("clean_text",
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>"))
+
+  /** Within-document exact line dedup (RefinedWeb-style): keep the
+    * FIRST occurrence of each normalized line inside a document,
+    * drop later repeats. Per-doc window over the line stream — the
+    * shuffle is on doc_id, and line ordering rides (doc_id,
+    * line_idx), so skew is bounded by the longest document. */
+  def dedupDocLines(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"), col("norm"))
+      .orderBy(col("line_idx"))
+    val kept = docLines(docs)
+      .withColumn("norm", trim(lower(col("line"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 || col("norm") === "")
+    kept.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("line_idx"), col("line"))))
+        .as("ordered"))
+      .select(col("doc_id"),
+        array_join(transform(col("ordered"), x => x.getField("line")), "\n")
+          .as("clean_text"))
+  }
+}
