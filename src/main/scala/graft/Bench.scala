@@ -56,6 +56,9 @@ object Bench {
     }
     val pipelineRuns = scala.collection.mutable.ArrayBuffer.empty[Run]
     var weather = "ok"
+    var selectedRun: Option[Run] = None
+    // committed quiet-window kernel rate per core (r3/r4, see below)
+    val quietCanaryPerCore = 66e6
     def emit(nTriples: Long, nTurns: Long, turnsPerSec: Double): Unit = {
       val (steal1, busy1) = cpuJiffies()
       val qs = timings.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
@@ -69,6 +72,8 @@ object Bench {
           f""""sf":"$sfDir","bench_turns":$nTurns,"kg_triples":$nTriples,""" +
           f""""turns_per_sec":$turnsPerSec%.1f,"cores":$cpus,""" +
           f""""pipeline_runs":$runsJson,"weather":"$weather",""" +
+          selectedRun.map(r => f""""selected_canary_frac":${
+            r.canary / (quietCanaryPerCore * cpus)}%.2f,""").getOrElse("") +
           f""""steal_sec":${(steal1 - steal0) / 100.0}%.1f,"busy_sec":${(busy1 - busy0) / 100.0}%.1f}""")
     }
 
@@ -84,11 +89,10 @@ object Bench {
 
     val machineCores = Runtime.getRuntime.availableProcessors()
     val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "4").toInt
-    // committed quiet-window kernel rate: 2.16e9 rows/s at 32 cores
+    // quietCanaryPerCore (declared above for the emit closure):
+    // committed quiet-window kernel rate 2.16e9 rows/s at 32 cores
     // (r3, 19 steal-sec window), 1.85e9 re-measured r4; per-core ≈
-    // 66M rows/s. 8-core quiet windows ran ~92M/core, so a 0.5× gate
-    // on the 32-core per-core rate is conservative at every N.
-    val quietCanaryPerCore = 66e6
+    // 66M rows/s. 8-core quiet windows ran ~92M/core.
     def canary(): Double = {
       import org.apache.spark.sql.functions.{bit_count, col, sum, xxhash64}
       // scaled with cores (not floored at 2e9): ~1s in a quiet window
@@ -103,7 +107,12 @@ object Bench {
         .head()
       n / ((System.nanoTime() - t0) / 1e9)
     }
-    val canaryGate = 0.5 * quietCanaryPerCore * cpus
+    // 0.7×: a 50%-of-quiet window (passed by the old 0.5 gate by 0.2%)
+    // measured kg_pipeline at 60.6s vs 19.7-24s in 75-81% windows —
+    // the alloc-heavy pipeline degrades FASTER than the alloc-free
+    // canary kernel, so a borderline canary means a far-from-border
+    // pipeline. Known-quiet windows (canary ≥75%) clear 0.7 easily.
+    val canaryGate = 0.7 * quietCanaryPerCore * cpus
     def quietFrac(sec: Double, stealSec: Double): Double =
       stealSec / math.max(sec * machineCores, 1e-9)
     // 5%: measured windows show <2% steal on good runs, 9% on runs
@@ -117,12 +126,15 @@ object Bench {
       * passed the gate while the min run's own canary failed it). */
     def selectHeadline(): Double = {
       val quiet = pipelineRuns.filter(isQuiet)
-      if (quiet.nonEmpty) { weather = "ok"; quiet.map(_.sec).min }
-      else {
-        weather = if (pipelineRuns.exists(_.canary < canaryGate)) "capped"
-                  else "high_steal"
-        pipelineRuns.map(_.sec).min
-      }
+      val chosen =
+        if (quiet.nonEmpty) { weather = "ok"; quiet.minBy(_.sec) }
+        else {
+          weather = if (pipelineRuns.exists(_.canary < canaryGate)) "capped"
+                    else "high_steal"
+          pipelineRuns.minBy(_.sec)
+        }
+      selectedRun = Some(chosen)
+      chosen.sec
     }
 
     // SPARK_GRAFT_BENCH_MODE=extract → the data-dominant stage alone,
@@ -230,7 +242,8 @@ object Bench {
     Seq("q_join_chain", "q_mode_tiebreak", "q_group_concat",
       "q_stable_turn_order", "q_dedup_exact", "q_minhash_sigs",
       "q_simhash", "q_token_count", "q_langid", "q_ann_topk",
-      "q_cosine_pairs").foreach { name =>
+      "q_cosine_pairs", "q_strip_boilerplate", "q_repetition_ngrams",
+      "q_pii_redact").foreach { name =>
       timed(name) {
         try force(q(name)(spark, sfDir))
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }

@@ -21,7 +21,8 @@ import graft.synth.TranscriptSynth
  * Usage:
  *   spark-submit --class graft.Main <jar> \
  *     --input <transcripts parquet dir | synth:<nTurns>> \
- *     --output <snapshot root> [--threshold 0.65] [--dedup 0.9]
+ *     --output <snapshot root> [--threshold 0.65] [--dedup 0.9] \
+ *     [--strip-boilerplate <minConvs>]
  *
  * Each stage is materialized as an immutable snapshot with per-
  * partition row counts in the manifest; a re-run resumes from the
@@ -79,10 +80,26 @@ object Main {
     * resuming stale snapshots. */
   def runResumable(spark: SparkSession, turns: Dataset[Turn],
       store: SnapshotStore, linkCfg: Linker.Config = Linker.Config(),
-      inputId: String = "", dedupJaccard: Option[Double] = None): Long = {
+      inputId: String = "", dedupJaccard: Option[Double] = None,
+      stripBoilerplateMinConvs: Option[Long] = None): Long = {
     val fp = s"input=$inputId|threshold=${linkCfg.threshold}" +
       s"|maxBlock=${linkCfg.maxBlock}|minTokenLen=${linkCfg.minTokenLen}" +
-      s"|dedup=${dedupJaccard.getOrElse("off")}"
+      s"|dedup=${dedupJaccard.getOrElse("off")}" +
+      s"|strip=${stripBoilerplateMinConvs.getOrElse("off")}"
+
+    // optional TURN-level boilerplate strip FIRST (cheapest filter,
+    // and it sharpens the conversation near-dup signatures below by
+    // removing the templated turns they would otherwise collide on):
+    // the inventory of repeated turn texts is its own snapshot stage
+    // (tiny — distinct boilerplate norms), the filter an anti-join.
+    val turnsStripped = stripBoilerplateMinConvs match {
+      case Some(k) =>
+        val norms = store.getOrCreate(spark, "boilerplate_norms", fp) {
+          graft.ops.Clean.boilerplateTurnNorms(turns, k)
+        }
+        graft.ops.Clean.stripTurnsByNorms(turns, norms)
+      case None => turns
+    }
 
     // optional conversation-level near-dup filter BEFORE extraction —
     // the 100TB training-data flow: re-ingested/trivially-reworded
@@ -92,10 +109,10 @@ object Main {
     val turnsIn = dedupJaccard match {
       case Some(thr) =>
         val verdicts = store.getOrCreate(spark, "dedup_canon", fp) {
-          graft.ops.ConversationDedup.conversationClusters(turns, thr)
+          graft.ops.ConversationDedup.conversationClusters(turnsStripped, thr)
         }
-        graft.ops.ConversationDedup.canonicalTurns(turns, verdicts)
-      case None => turns
+        graft.ops.ConversationDedup.canonicalTurns(turnsStripped, verdicts)
+      case None => turnsStripped
     }
 
     val ke = store.getOrCreate(spark, "ke", fp)(extractKe(turnsIn))
@@ -211,8 +228,12 @@ object Main {
     // --dedup <jaccard>: drop near-duplicate conversations (one
     // canonical survivor per family) before extraction
     val dedup = opts.get("dedup").map(_.toDouble)
+    // --strip-boilerplate <minConvs>: drop turns whose normalized text
+    // repeats across ≥ minConvs conversations (system prompts, tool
+    // banners) before everything else
+    val strip = opts.get("strip-boilerplate").map(_.toLong)
     val n = runResumable(session, loadTurns(session, input), store, cfg,
-      inputId = input, dedupJaccard = dedup)
+      inputId = input, dedupJaccard = dedup, stripBoilerplateMinConvs = strip)
     println(s"""{"triples":$n,"output":"$output","stages":${store.manifestEntries().size}}""")
   }
 }

@@ -1,8 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.schema.Turn
 
 /**
  * Corpus-cleaning operators for large-scale training-data pipelines
@@ -119,6 +121,46 @@ object Clean {
           regexp_replace(col("text"), EmailRe, "<EMAIL>"),
           Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>"))
+
+  private def turnNorm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+
+  /** TURN-level boilerplate inventory for transcript corpora: the
+    * normalized turn texts appearing in ≥ `minConvs` DISTINCT
+    * conversations (system prompts, tool banners, canned greetings —
+    * repeated verbatim across conversations, they would mint the same
+    * mentions/statements millions of times and swamp the superedge
+    * counts with artifacts of the serving stack, not facts).
+    * Distinct (norm, conv_id) pairs first (map-side partial dedup
+    * collapses within-conversation repeats locally), then a counted
+    * aggregate — the result is a SMALL frame (distinct boilerplate
+    * texts), snapshot-friendly. */
+  def boilerplateTurnNorms(turns: Dataset[Turn], minConvs: Long): DataFrame =
+    turns.toDF()
+      .select(turnNorm.as("norm"), col("conv_id"))
+      .filter(col("norm") =!= "")
+      .distinct()
+      .groupBy(col("norm")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minConvs)
+
+  /** Turns minus the boilerplate inventory: anti-join on the
+    * normalized text STRING (not a hash — a collision would silently
+    * drop a legitimate turn). The inventory side is tiny, so AQE
+    * broadcasts it; corpus text never reshuffles. */
+  def stripTurnsByNorms(turns: Dataset[Turn], norms: DataFrame): Dataset[Turn] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.toDF()
+      .withColumn("norm", turnNorm)
+      .join(norms.select(col("norm")), Seq("norm"), "left_anti")
+      .drop("norm")
+      .as[Turn]
+  }
+
+  /** [[boilerplateTurnNorms]] + [[stripTurnsByNorms]] in one call (the
+    * non-resumable library convenience; graft.Main snapshots the
+    * inventory stage between the two). */
+  def stripBoilerplateTurns(turns: Dataset[Turn], minConvs: Long): Dataset[Turn] =
+    stripTurnsByNorms(turns, boilerplateTurnNorms(turns, minConvs))
 
   /** Within-document exact line dedup (RefinedWeb-style): keep the
     * FIRST occurrence of each normalized line inside a document,

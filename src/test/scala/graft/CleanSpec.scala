@@ -89,6 +89,25 @@ class CleanSpec extends AnyFunSuite {
     assert(out(2L) == "a\n\nb\n")
   }
 
+  test("stripBoilerplateTurns drops cross-conversation repeated turns only") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def turn(conv: String, idx: Int, text: String) =
+      graft.schema.Turn(conv, idx, "user", text, null, new Timestamp(idx * 1000L))
+    val turns = Seq(
+      turn("c1", 0, "You are a HELPFUL   assistant."), // whitespace/case variants
+      turn("c2", 0, "you are a helpful assistant."),   // normalize together
+      turn("c3", 0, "You are a helpful assistant."),
+      turn("c1", 1, "tell me about scala"),
+      turn("c1", 2, "tell me about scala"), // SAME conv twice → df=1, kept
+      turn("c2", 1, "unrelated question")).toDS()
+    val out = Clean.stripBoilerplateTurns(turns, minConvs = 3L).collect()
+    assert(out.length == 3)
+    assert(out.forall(t => !t.text.toLowerCase.contains("assistant")))
+    // within-conversation repetition alone never strips
+    assert(out.count(_.text == "tell me about scala") == 2)
+  }
+
   test("within-doc line dedup is per-document (no cross-doc leakage)") {
     val d = docs(1L -> "shared\nown1", 2L -> "shared\nown2")
     val out = Clean.dedupDocLines(d).collect()

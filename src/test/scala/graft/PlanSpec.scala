@@ -181,4 +181,24 @@ class PlanSpec extends AnyFunSuite {
       assert(plan.contains("SortMergeJoin"), s"$name lost its merge join:\n$plan")
     }
   }
+
+  test("cleaning ops: per-row passes plan no shuffle; strip has no window") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "c\nd")).toDF("doc_id", "text")
+    // repetition stats and PII redaction are pure projections — any
+    // Exchange here would turn a cheap corpus scan into a shuffle of
+    // the full text volume at 100 TB
+    for (df <- Seq(graft.ops.Clean.repetitionStats(docs),
+                   graft.ops.Clean.redactPii(docs))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"per-row cleaning op shuffles:\n$plan")
+    }
+    // stripBoilerplate: ordered rebuild must be aggregate-shaped
+    // (map-side partial agg absorbs long docs), never a Window over
+    // doc_id, and the boilerplate filter must be an anti join
+    val strip = graft.ops.Clean.stripBoilerplate(docs, 2L)
+    val plan = strip.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in strip rebuild:\n$plan")
+    assert(plan.contains("LeftAnti"), s"boilerplate filter not an anti join:\n$plan")
+  }
 }

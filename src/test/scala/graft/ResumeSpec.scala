@@ -80,4 +80,51 @@ class ResumeSpec extends AnyFunSuite {
     val n2 = Main.runResumable(spark, withDups, store, dedupJaccard = Some(0.9))
     assert(n2 == n1 && store.manifestEntries().size == 20)
   }
+
+  test("--strip-boilerplate adds a resume-safe inventory stage; boilerplate turns don't change the KG") {
+    import spark.implicits._
+    val cfg = TranscriptSynth.Config(nConvs = 60, turnsPerConv = 6)
+    val base = TranscriptSynth.turnsDs(spark, cfg, partitions = 4)
+    // plant the serving-stack scenario: an identical system-prompt
+    // turn (entity-bearing, so it WOULD mint mentions) in every
+    // conversation, appended as a fresh turn_idx
+    val banner = base.groupByKey(_.conv_id).mapGroups { (conv, ts) =>
+      val maxIdx = ts.map(_.turn_idx).max
+      graft.schema.Turn(conv, maxIdx + 1, "system",
+        "Zorblatt Industries founded Quuxware Labs.", // trigger-bearing:
+        null, new java.sql.Timestamp(0L))             // mints a statement
+    }
+    val withBanner = base.unionByName(banner)
+
+    val cleanRoot = Files.createTempDirectory("kgclean2").toString
+    val cleanStore = new SnapshotStore(cleanRoot)
+    val nClean = Main.runResumable(spark, base, cleanStore)
+
+    // without strip, the planted banner changes the KG (the hazard)
+    val dirtyStore = new SnapshotStore(Files.createTempDirectory("kgdirty").toString)
+    Main.runResumable(spark, withBanner, dirtyStore)
+    val tDirty = dirtyStore.read(spark, "triples").get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+    val stripRoot = Files.createTempDirectory("kgstrip").toString
+    val store = new SnapshotStore(stripRoot)
+    val n1 = Main.runResumable(spark, withBanner, store,
+      stripBoilerplateMinConvs = Some(30L))
+    assert(store.manifestEntries().size == 20) // 19 + boilerplate_norms
+    // the inventory holds exactly the planted banner (60 convs ≥ 30)
+    val norms = store.read(spark, "boilerplate_norms").get.collect()
+    assert(norms.length == 1 && norms.head.getLong(1) == 60L)
+
+    val tClean = cleanStore.read(spark, "triples").get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val tStrip = store.read(spark, "triples").get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(nClean > 0 && tStrip == tClean)
+    assert(tDirty != tClean) // the filter removed a REAL difference
+
+    // resume: inventory not recomputed, stage count stable
+    val n2 = Main.runResumable(spark, withBanner, store,
+      stripBoilerplateMinConvs = Some(30L))
+    assert(n2 == n1 && store.manifestEntries().size == 20)
+  }
 }
