@@ -51,6 +51,18 @@ object Main {
       base.unionByName(
         base.filter(t => t.conv_id.drop(4).toLong % 3 == 0)
           .map(t => t.copy(conv_id = t.conv_id + "-reingest")))
+    } else if (input.startsWith("synthbp:")) {
+      // synth corpus + an identical trigger-bearing system-prompt turn
+      // appended to EVERY conversation (the serving-stack boilerplate
+      // regime): with --strip-boilerplate on, the KG must come out
+      // identical to the clean `synth:` corpus
+      val n = input.stripPrefix("synthbp:").toLong
+      val cfg = TranscriptSynth.Config(nConvs = (n / 10).toInt, turnsPerConv = 10)
+      val base = TranscriptSynth.turnsDs(spark, cfg)
+      base.unionByName(
+        base.filter(_.turn_idx == 0).map(t => t.copy(
+          turn_idx = cfg.turnsPerConv, role = "system",
+          text = "Zorblatt Industries founded Quuxware Labs.")))
     } else spark.read.parquet(input).as[Turn]
   }
 
