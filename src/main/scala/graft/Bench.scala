@@ -47,6 +47,17 @@ object Bench {
       timings(name) = (System.nanoTime() - t0) / 1e9
       r
     }
+    /** min-of-2 for the per-query section: the r4 artifact shipped
+      * 5-10× "regressions" on unchanged queries measured once inside a
+      * capped window; two samples under one-sided noise cost seconds
+      * and kill most of that illusion (the headline gets the full
+      * bracketing-canary treatment instead). */
+    def timedMin2(name: String)(f: => Unit): Unit = {
+      def one(): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      timings(name) = math.min(one(), one())
+    }
     /** One measured run with its BRACKETING canaries: a ~2s pre-run
       * canary cannot see a throughput cap that arrives mid-run (a 362s
       * run shipped as "ok" in r4 exactly this way), so each run is
@@ -57,6 +68,7 @@ object Bench {
     val pipelineRuns = scala.collection.mutable.ArrayBuffer.empty[Run]
     var weather = "ok"
     var selectedRun: Option[Run] = None
+    var tailCanaryFrac = -1.0
     // committed quiet-window kernel rate per core (r3/r4, see below)
     val quietCanaryPerCore = 66e6
     def emit(nTriples: Long, nTurns: Long, turnsPerSec: Double): Unit = {
@@ -74,6 +86,8 @@ object Bench {
           f""""pipeline_runs":$runsJson,"weather":"$weather",""" +
           selectedRun.map(r => f""""selected_canary_frac":${
             r.canary / (quietCanaryPerCore * cpus)}%.2f,""").getOrElse("") +
+          (if (tailCanaryFrac >= 0)
+             f""""queries_tail_canary_frac":$tailCanaryFrac%.2f,""" else "") +
           f""""steal_sec":${(steal1 - steal0) / 100.0}%.1f,"busy_sec":${(busy1 - busy0) / 100.0}%.1f}""")
     }
 
@@ -233,7 +247,7 @@ object Bench {
     }
 
     // 2. extraction-only throughput (mention detection stage)
-    timed("extract_only") {
+    timedMin2("extract_only") {
       MentionExtractor_forceCount(spark, cfg)
     }
 
@@ -244,11 +258,15 @@ object Bench {
       "q_simhash", "q_token_count", "q_langid", "q_ann_topk",
       "q_cosine_pairs", "q_strip_boilerplate", "q_repetition_ngrams",
       "q_pii_redact").foreach { name =>
-      timed(name) {
+      timedMin2(name) {
         try force(q(name)(spark, sfDir))
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       }
     }
+    // weather context for the (min-of-2, otherwise ungated) per-query
+    // section: one canary after the section, reported as a fraction of
+    // the quiet constant
+    tailCanaryFrac = canary() / (quietCanaryPerCore * cpus)
 
     emit(nTriples, cfg.nTurns, turnsPerSec)
     spark.stop()
