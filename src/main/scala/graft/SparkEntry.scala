@@ -990,6 +990,17 @@ object SparkEntry {
         |       rel.n_members AS n_members, g.golden_n AS golden_n
         |FROM rel
         |FULL JOIN read_parquet('__GRAFT_OUT__/_golden_relation_counts/*.parquet') g
-        |  ON rel.subj = g.subj AND rel.pred = g.pred AND rel.obj = g.obj""".stripMargin
+        |  ON rel.subj = g.subj AND rel.pred = g.pred AND rel.obj = g.obj""".stripMargin,
+    // ---- independent from-spec hash oracle rows. DuckDB has no
+    // xxhash64, so these two compare against expected parquet Verify
+    // writes from graft.oracle.RefHash — a from-scratch implementation
+    // of the PUBLIC xxHash64 spec plus plain-java.lang.String
+    // re-derivations of the normalize/shingle/vote contracts, sharing
+    // no code with the Catalyst kernels or Spark's internal XXH64 —
+    // so a defect in either side surfaces as a driver hash mismatch.
+    "q_minhash_sigs" ->
+      "SELECT doc_id, sig FROM read_parquet('__GRAFT_OUT__/_expected_minhash_sigs/*.parquet')",
+    "q_simhash" ->
+      "SELECT doc_id, simhash FROM read_parquet('__GRAFT_OUT__/_expected_simhash/*.parquet')"
   )
 }

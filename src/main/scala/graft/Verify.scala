@@ -42,6 +42,25 @@ object Verify {
       SparkEntry.goldenRelationCountsDf(spark).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_golden_relation_counts")
     }
+    // expected minhash/simhash values from the INDEPENDENT from-spec
+    // xxHash64 reimplementation (graft.oracle.RefHash) — DuckDB has no
+    // xxhash64, so these rows hash-match against parquet computed
+    // driver-side over the verify corpus (500 docs at sf0.01; an
+    // oracle role, like the exact all-pairs truths)
+    if (only.isEmpty || only.exists(s => s("q_minhash_sigs") || s("q_simhash"))) {
+      import spark.implicits._
+      import graft.oracle.RefHash
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1))))
+      docs.toSeq
+        .map { case (id, t) => (id, t.map(x => RefHash.signatureString(RefHash.minHashSignature(x)))) }
+        .toDF("doc_id", "sig").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_expected_minhash_sigs")
+      docs.toSeq.map { case (id, t) => (id, t.map(RefHash.simHash)) }
+        .toDF("doc_id", "simhash").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_expected_simhash")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
