@@ -763,9 +763,12 @@ object SparkEntry {
         |    SELECT doc_id, idx, line, norm,
         |           row_number() OVER (PARTITION BY doc_id, norm ORDER BY idx) AS rn
         |    FROM lines) r
-        |  WHERE rn = 1 OR norm = '')
-        |SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text
-        |FROM kept GROUP BY doc_id""".stripMargin,
+        |  WHERE rn = 1 OR norm = ''),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+        |FROM dirty d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
     "q_relation_clusters" ->
       """WITH s AS (
         |  SELECT CAST(event_id AS VARCHAR) AS stmt_id,

@@ -166,7 +166,11 @@ object Clean {
     * FIRST occurrence of each normalized line inside a document,
     * drop later repeats. Per-doc window over the line stream — the
     * shuffle is on doc_id, and line ordering rides (doc_id,
-    * line_idx), so skew is bounded by the longest document. */
+    * line_idx), so skew is bounded by the longest document. Like
+    * [[stripBoilerplate]], the output is left-joined back to the doc
+    * spine: a NULL-text document (which explodes to zero lines)
+    * survives with clean_text = '' — a cleaning pass must not
+    * silently delete rows. */
   def dedupDocLines(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id"), col("norm"))
       .orderBy(col("line_idx"))
@@ -174,11 +178,14 @@ object Clean {
       .withColumn("norm", trim(lower(col("line"))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 || col("norm") === "")
-    kept.groupBy(col("doc_id"))
+    val rebuilt = kept.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("line_idx"), col("line"))))
         .as("ordered"))
       .select(col("doc_id"),
         array_join(transform(col("ordered"), x => x.getField("line")), "\n")
           .as("clean_text"))
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 }

@@ -115,4 +115,16 @@ class CleanSpec extends AnyFunSuite {
     assert(out(1L) == "shared\nown1")
     assert(out(2L) == "shared\nown2")
   }
+
+  test("dedupDocLines keeps NULL-text docs on the spine (clean_text = '')") {
+    // a null text explodes to zero lines; the spine join must still
+    // emit the row — same never-silently-delete contract as
+    // stripBoilerplate
+    val d = docs(1L -> "a\nb", 2L -> null)
+    val out = Clean.dedupDocLines(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a\nb")
+    assert(out(2L) == "")
+    assert(out.size == 2)
+  }
 }
