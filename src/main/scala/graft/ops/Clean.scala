@@ -67,6 +67,16 @@ object Clean {
     val kept = docLines(docs)
       .withColumn("norm", trim(lower(col("line"))))
       .join(bp, Seq("norm"), "left_anti")
+    rebuildDocs(docs, kept)
+  }
+
+  /** Shared tail of the line-level cleaning passes: re-join kept
+    * (doc_id, line_idx, line) rows into one text per document in
+    * original line order, then left-join back to the `docs` spine so
+    * documents whose every line was dropped — or whose NULL text
+    * exploded to zero lines — survive with clean_text = ''. A cleaning
+    * pass must not silently delete rows. */
+  private def rebuildDocs(docs: DataFrame, kept: DataFrame): DataFrame = {
     val rebuilt = kept
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("line_idx"), col("line"))))
@@ -85,8 +95,13 @@ object Clean {
     * text). Counts, not a rounded ratio, so the row is
     * engine-portable bit-for-bit; ratio = n_dup / n_bigrams. */
   def repetitionStats(docs: DataFrame): DataFrame = {
+    // NULL text counts as an empty word stream (0 bigrams, 0 dups) —
+    // without the coalesce, size(null)=null skips the when() guard and
+    // the row emits NULL counts, diverging from the DuckDB oracle's
+    // coalesced 0s and from Clean's null-doc convention elsewhere
     val words = filter(
-      split(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "), " ", -1),
+      split(regexp_replace(lower(coalesce(col("text"), lit(""))),
+        "[^a-z0-9]+", " "), " ", -1),
       w => w =!= "")
     val n = size(words)
     val bigrams = zip_with(
@@ -178,14 +193,6 @@ object Clean {
       .withColumn("norm", trim(lower(col("line"))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 || col("norm") === "")
-    val rebuilt = kept.groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("line_idx"), col("line"))))
-        .as("ordered"))
-      .select(col("doc_id"),
-        array_join(transform(col("ordered"), x => x.getField("line")), "\n")
-          .as("clean_text"))
-    docs.select(col("doc_id"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+    rebuildDocs(docs, kept)
   }
 }

@@ -221,6 +221,11 @@ object Containers {
         scala.collection.mutable.ArrayBuffer.empty)
 
   private def uintVal(b: Array[Byte], o: Int, len: Int): Long = {
+    // EBML uints are 0-8 bytes; a longer declared size would shift the
+    // leading bytes off the Long and return garbage as ok=true instead
+    // of THROWING into the per-row failure capture like every other
+    // malformed-payload path here
+    require(len >= 0 && len <= 8, s"bad EBML uint size $len")
     var v = 0L; var i = 0
     while (i < len) { v = (v << 8) | (b(o + i) & 0xff); i += 1 }
     v

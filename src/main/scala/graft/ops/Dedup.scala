@@ -162,14 +162,22 @@ object Dedup {
     if (minEstimate <= 0.0) pairs
     else {
       // SIGNATURE-ESTIMATE PREFILTER: matching-minhash fraction is an
-      // unbiased estimator of the word-shingle jaccard, so candidates
-      // whose estimate can't plausibly reach the caller's verify
-      // threshold are dropped BEFORE any text/shingle row exists.
-      // Miss probability is a binomial tail — P(est < 0.5 | j ≥ 0.9)
-      // with K=16 ≈ 1e-8 per pair — and EXACT duplicates have est ≡ 1,
-      // never filtered. Measured on the 267k-conversation boilerplate
-      // diagnostic: 1.01M candidates → 290k at est ≥ 0.5, with every
-      // one of the 66,667 planted exact pairs at est = 1.0.
+      // unbiased estimator of the WORD-shingle jaccard — the same
+      // metric the banding S-curve thresholds, NOT the char-shingle
+      // jaccard the verify stage scores (word-shingle similarity is
+      // strictly coarser: scattered single-word edits depress it well
+      // below the char-5 value). The miss bound is therefore stated on
+      // the banding metric: P(est < gate | word-j ≥ 0.9) with K=16 is
+      // a binomial tail ≈ 1e-8 per pair, and EXACT duplicates have
+      // est ≡ 1, never filtered. For pairs whose word-j sits BELOW the
+      // gate, recall is governed by the banding S-curve, not by this
+      // filter — callers keep that true by choosing minEstimate at or
+      // under the banding threshold (1/b)^(1/r) (ConversationDedup:
+      // 0.5 < 0.707 for r=4×b=4), so the prefilter only ever discards
+      // pairs the banding would surface with already-small probability.
+      // Measured on the 267k-conversation boilerplate diagnostic:
+      // 1.01M candidates → 290k at est ≥ 0.5, with every one of the
+      // 66,667 planted exact pairs at est = 1.0.
       val matches = aggregate(
         zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v)

@@ -449,7 +449,11 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(col("modality") === "video")
-      .select(col("media_id"), col("payload"), col("duration_ms"))
+      // NULL duration (unknown upstream metadata) behaves like 0 — a
+      // single probe frame at t=0 — instead of the tuple encoder's
+      // non-nullable-field error aborting the job on one bad row
+      .select(col("media_id"), col("payload"),
+        coalesce(col("duration_ms"), lit(0L)).as("duration_ms"))
       .as[(String, Array[Byte], Long)]
       .flatMap { case (id, payload, durMs) =>
         val meta = Containers.probe(id, payload)

@@ -24,11 +24,14 @@ object Similarity {
     call_function("graft_cosine", a, b)
 
   /** Brute-force cosine top-k against one query vector (driver-held,
-    * broadcast as a literal array). */
+    * broadcast as a literal array). vec_id is cast to long so every
+    * ANN path — this one, the probed branches, and their fallbacks —
+    * returns one schema (vec_id bigint, sim double) regardless of the
+    * caller's integer width. */
   def bruteForceTopK(embeddings: DataFrame, query: Seq[Float], k: Int = 10): DataFrame = {
     val q = array(query.map(v => lit(v.toDouble)): _*)
     embeddings
-      .select(col("vec_id"),
+      .select(col("vec_id").cast("long").as("vec_id"),
         round(cosine(col("embedding"), q), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
@@ -71,7 +74,9 @@ object Similarity {
     // probe (k rows are driver-sized by contract) — the former
     // limit(k).count() pre-check scanned the candidates twice
     val q = array(query.map(v => lit(v.toDouble)): _*)
-    val top = cand.select(col("vec_id"),
+    // vec_id cast to long: rebuilt rows must read back via getLong for
+    // ANY caller integer width, and both branches share one schema
+    val top = cand.select(col("vec_id").cast("long").as("vec_id"),
         round(cosine(col("embedding"), q), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
@@ -142,7 +147,9 @@ object Similarity {
     val spark = assigned.sparkSession
     import spark.implicits._
     val q = array(query.map(v => lit(v.toDouble)): _*)
-    val top = cand.select(col("vec_id"),
+    // long cast for the same any-integer-width / one-schema contract
+    // as lshTopK
+    val top = cand.select(col("vec_id").cast("long").as("vec_id"),
         round(cosine(col("embedding"), q), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)

@@ -26,6 +26,15 @@ import java.util.regex.Pattern
  * Driver-sized by contract: Verify runs at sf0.01 (500 documents);
  * these functions are only ever applied to a collected oracle corpus,
  * exactly like the exact all-pairs oracle roles.
+ *
+ * Lowercasing caveat: the kernels lowercase via Spark's
+ * `UTF8String.toLowerCase` (ASCII fast path; JVM-default-locale slow
+ * path for non-ASCII), while this oracle uses `Locale.ROOT` — the two
+ * agree on ASCII and on every default-locale JVM, and can differ only
+ * for locale-special-cased code points (e.g. dotted/dotless I under
+ * tr_TR) on a non-default-locale driver. The verify corpus is ASCII;
+ * a divergence here would surface as an oracle mismatch, the correct
+ * failure direction.
  */
 object RefHash {
 

@@ -116,6 +116,17 @@ class CleanSpec extends AnyFunSuite {
     assert(out(2L) == "shared\nown2")
   }
 
+  test("repetitionStats treats NULL text as an empty word stream (0, 0)") {
+    // size(null) is null and skips the when() guard — without the
+    // coalesce the row emitted NULL counts, diverging from the DuckDB
+    // oracle's coalesced zeros
+    val d = docs(1L -> null, 2L -> "a b a b")
+    val out = Clean.repetitionStats(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((0L, 0L)))
+    assert(out(2L) == ((3L, 1L))) // 'a b','b a','a b' → one duplicate
+  }
+
   test("dedupDocLines keeps NULL-text docs on the spine (clean_text = '')") {
     // a null text explodes to zero lines; the spine join must still
     // emit the row — same never-silently-delete contract as

@@ -916,4 +916,51 @@ class OpsSpec extends AnyFunSuite {
       assert(blocked == exact, s"auto-nBits recall drift at n=$n")
     }
   }
+
+  test("ANN paths accept int vec_id and return one schema (bigint) on both branches") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    // vec_id: Int — the collected-row rebuild used to getLong a boxed
+    // Integer (CCE), and the probed/fallback branches returned
+    // different vec_id types
+    val rows = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.01f * i, 0f, 0f)
+      else Seq(0f, 0f, 1.0f, 0.01f * i)
+      (i, base)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val q = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val probed = Similarity.lshTopK(e, q, 3, nBits = 2, probeHamming = 0)
+    val fallback = Similarity.lshTopK(e, q, 15, nBits = 2, probeHamming = 0)
+    val (assigned, centers) = Similarity.ivfIndex(e, nCentroids = 2)
+    val ivf = Similarity.ivfTopK(assigned, centers, q, 3, nprobe = 1)
+    for ((df, label) <- Seq((probed, "lsh-probed"), (fallback, "lsh-fallback"),
+        (Similarity.bruteForceTopK(e, q, 3), "brute"), (ivf, "ivf"))) {
+      assert(df.schema("vec_id").dataType == LongType, s"$label vec_id type")
+      assert(df.count() > 0, s"$label empty")
+    }
+    assert(fallback.count() == 15) // the never-under-returns contract held
+  }
+
+  test("EBML uints longer than 8 bytes are a captured failure, not garbage ok=true") {
+    def bs(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // Segment→Info→TimestampScale declaring a 9-byte body: shifting 9
+    // bytes through a Long silently drops the lead byte — must THROW
+    // into the per-row capture instead of returning a bogus scale
+    val ts9 = bs(0x2A, 0xD7, 0xB1, 0x89) ++ new Array[Byte](9)
+    val info = bs(0x15, 0x49, 0xA9, 0x66, 0x80 | ts9.length) ++ ts9
+    val seg = bs(0x18, 0x53, 0x80, 0x67, 0x80 | info.length) ++ info
+    val bad = Containers.probe("w9", bs(0x1A, 0x45, 0xDF, 0xA3, 0x80) ++ seg)
+    assert(!bad.ok && bad.error.contains("bad EBML uint size"))
+  }
+
+  test("sampleFrames survives NULL duration_ms (single probe frame, job alive)") {
+    val vid = Multimodal.syntheticMedia(spark, 12).toDF()
+      .filter(col("modality") === "video")
+      .withColumn("duration_ms", lit(null).cast("long"))
+    // the tuple encoder's non-nullable Long used to abort the job here
+    val frames = Multimodal.sampleFrames(vid).collect()
+    assert(frames.length == 4) // one t=0 probe frame per video row
+    assert(frames.forall(_.getLong(1) == 0L))
+  }
 }
