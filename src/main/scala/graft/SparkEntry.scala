@@ -28,11 +28,25 @@ object SparkEntry {
     TranscriptSynth.Config(nConvs = 80, turnsPerConv = 8)
   val KgEventsCfg: TranscriptSynth.Config =
     TranscriptSynth.Config(nConvs = 60, turnsPerConv = 8)
+  /** The PipelineGoldenSpec corpus — the one the published P/R ≥ 0.95
+    * claim is measured on. The smaller KgTriplesCfg verify corpus sits
+    * at P=R≈0.949 (640 turns give TF-IDF/mode-vote too few repetitions
+    * to outvote every planted typo — small-corpus statistics, recorded
+    * faithfully by the q_kg_triples_golden verdict frame), so the
+    * driver-side GATE runs the claim's own corpus. */
+  val KgGateCfg: TranscriptSynth.Config =
+    TranscriptSynth.Config(nConvs = 400, turnsPerConv = 10)
 
   /** The enumerable planted-truth triple set as a DataFrame. */
   def goldenTriplesDf(s: SparkSession): DataFrame = {
     import s.implicits._
     TranscriptSynth.goldenTriples(KgTriplesCfg).toSeq.toDF()
+  }
+
+  /** Planted truth for the P/R-gate corpus ([[KgGateCfg]]). */
+  def goldenGateTriplesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    TranscriptSynth.goldenTriples(KgGateCfg).toSeq.toDF()
   }
 
   /** The enumerable planted-truth event frames as a DataFrame. */
@@ -325,6 +339,70 @@ object SparkEntry {
         .select(col("subj"), col("pred"), col("obj"),
           coalesce(col("inp"), lit(false)).as("in_pipeline"),
           coalesce(col("ing"), lit(false)).as("in_golden"))
+    }),
+    "q_kg_parity_gate" -> ((s, _) => { // driver-side P/R GATE. The
+      // _golden verdict frames are faithful RECORDS — both engines
+      // recompute the same full-outer join from the same dumps, so
+      // they hash-match even if the pipeline regresses. This row's
+      // oracle instead PINS the two threshold booleans as literals
+      // (and golden_total from the planted-truth parquet): a pipeline
+      // P/R drop below the ScalaTest bar now fails CORRECTNESS itself,
+      // independent of the test suite running. Runs [[KgGateCfg]] —
+      // the PipelineGoldenSpec corpus the published claim is about.
+      import s.implicits._
+      val t = Pipeline.run(TranscriptSynth.turnsDs(s, KgGateCfg, partitions = 8))
+        .triples.toDF().select(col("subj"), col("pred"), col("obj")).distinct()
+      val g = goldenGateTriplesDf(s)
+      val emitted = t.count()
+      val golden = g.count()
+      val matched = t.join(g, Seq("subj", "pred", "obj")).count()
+      Seq((golden, matched * 100L >= emitted * 95L, matched * 100L >= golden * 95L))
+        .toDF("golden_total", "precision_ok", "recall_ok")
+    }),
+    "q_kg_event_parity_gate" -> ((s, _) => { // event twin of the P/R
+      // gate: the golden-spec bar (frame P/R ≥ 0.9 on KgEventsCfg, the
+      // corpus the spec itself runs) pinned as oracle literals
+      import s.implicits._
+      val r = Pipeline.run(TranscriptSynth.turnsDs(s, KgEventsCfg, partitions = 8))
+      val frames = EventCoref
+        .namedFrames(r.eventClusters, r.eventArgs, r.memberships, r.prototypes)
+        .select(col("etype"), col("subj"), col("obj"), col("place"),
+          col("participants")).as("t")
+      val g = goldenEventFramesDf(s).as("g")
+      val emitted = frames.count()
+      val golden = g.count()
+      val matched = frames.join(g,
+        col("t.etype") === col("g.etype") && col("t.subj") === col("g.subj") &&
+          col("t.obj") === col("g.obj") && (col("t.place") <=> col("g.place")) &&
+          (col("t.participants") <=> col("g.participants"))).count()
+      Seq((golden, matched * 10L >= emitted * 9L, matched * 10L >= golden * 9L))
+        .toDF("golden_total", "precision_ok", "recall_ok")
+    }),
+    "q_kg_relation_parity_gate" -> ((s, _) => { // relation twin:
+      // coverage ≥ 0.9 of the planted fact multiplicities AND exact
+      // per-cluster member counts on every matched triple — the
+      // PipelineGoldenSpec relation assertions, driver-gated
+      import s.implicits._
+      val r = Pipeline.run(TranscriptSynth.turnsDs(s, KgEventsCfg, partitions = 8))
+      val names = r.prototypes.toDF().select(col("cluster_id"), col("name"))
+      val rel = RelationClusters.summary(r.relationClusters)
+        .select(
+          split(col("rel_key"), "\\|").getItem(0).as("pred"),
+          regexp_extract(col("rel_key"), "obj:([^,]+)", 1).as("obj_cluster"),
+          regexp_extract(col("rel_key"), "subj:([^,]+)$", 1).as("subj_cluster"),
+          col("n_members"))
+        .join(names.select(col("cluster_id").as("subj_cluster"),
+          col("name").as("subj")), Seq("subj_cluster"))
+        .join(names.select(col("cluster_id").as("obj_cluster"),
+          col("name").as("obj")), Seq("obj_cluster"))
+        .select(col("subj"), col("pred"), col("obj"), col("n_members"))
+      val g = goldenRelationCountsDf(s)
+      val golden = g.count()
+      val m = rel.join(g, Seq("subj", "pred", "obj"))
+      val matched = m.count()
+      val countsOk = m.filter(col("n_members") =!= col("golden_n")).count() == 0L
+      Seq((golden, matched * 10L >= golden * 9L, countsOk))
+        .toDF("golden_total", "coverage_ok", "counts_ok")
     }),
     "q_kg_prototypes" -> ((s, _) => {
       Pipeline.run(TranscriptSynth.turnsDs(s, KgEventsCfg, partitions = 8))
@@ -946,6 +1024,21 @@ object SparkEntry {
     // Verify from the enumerable pure functions in TranscriptSynth) —
     // so the full pipeline output hash-matches in CORRECTNESS, not
     // just in ScalaTest golden specs.
+    "q_kg_parity_gate" ->
+      """SELECT (SELECT count(*)
+        |        FROM read_parquet('__GRAFT_OUT__/_golden_gate_triples/*.parquet'))
+        |         AS golden_total,
+        |       true AS precision_ok, true AS recall_ok""".stripMargin,
+    "q_kg_event_parity_gate" ->
+      """SELECT (SELECT count(*)
+        |        FROM read_parquet('__GRAFT_OUT__/_golden_event_frames/*.parquet'))
+        |         AS golden_total,
+        |       true AS precision_ok, true AS recall_ok""".stripMargin,
+    "q_kg_relation_parity_gate" ->
+      """SELECT (SELECT count(*)
+        |        FROM read_parquet('__GRAFT_OUT__/_golden_relation_counts/*.parquet'))
+        |         AS golden_total,
+        |       true AS coverage_ok, true AS counts_ok""".stripMargin,
     "q_kg_triples_golden" ->
       """SELECT coalesce(t.subj, g.subj) AS subj,
         |       coalesce(t.pred, g.pred) AS pred,

@@ -32,7 +32,8 @@ object Verify {
     // sets are enumerable pure functions of the synth config, and the
     // q_kg_*_golden oracle SQL full-joins the pipeline dumps against
     // these files — pipeline parity as a driver-checked hash row
-    if (only.isEmpty || only.exists(_.exists(_.endsWith("_golden")))) {
+    if (only.isEmpty ||
+        only.exists(_.exists(n => n.endsWith("_golden") || n.endsWith("_gate")))) {
       SparkEntry.goldenTriplesDf(spark).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_golden_triples")
       SparkEntry.goldenEventFramesDf(spark).coalesce(1)
@@ -41,6 +42,8 @@ object Verify {
         .write.mode("overwrite").parquet(s"$outDir/_golden_prototypes")
       SparkEntry.goldenRelationCountsDf(spark).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/_golden_relation_counts")
+      SparkEntry.goldenGateTriplesDf(spark).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_golden_gate_triples")
     }
     // expected minhash/simhash values from the INDEPENDENT from-spec
     // xxHash64 reimplementation (graft.oracle.RefHash) — DuckDB has no
