@@ -90,6 +90,25 @@ object Pipeline {
     * ~2M compact surface rows ≈ the 100MB broadcast ceiling. */
   val SaltedMembershipRows: Long = 2L * 1000 * 1000
 
+  /** Rows at or below which a MEASURED compact aggregate (the
+    * superedge count table) is explicitly broadcast into its join-back
+    * instead of merge-joined — ~25 MB of (3 strings, long) rows. The
+    * gate is on a real count, never a size estimate (round 6,
+    * guide §3.1). */
+  val BroadcastableAggRows: Long = 250000L
+
+  /** Opt-in stage wall-clock prints (SPARK_GRAFT_STAGE_TIMING=1) for
+    * profiling runs — zero overhead otherwise. */
+  private val stageTiming = sys.env.contains("SPARK_GRAFT_STAGE_TIMING")
+  private def timedStage[T](name: String)(f: => T): T =
+    if (!stageTiming) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"""{"pstage":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      r
+    }
+
   def run(turns: Dataset[Turn], linkCfg: Linker.Config = Linker.Config(),
       saltedMembershipRows: Long = SaltedMembershipRows): Result = {
     val spark = turns.sparkSession
@@ -108,7 +127,7 @@ object Pipeline {
     // statements/events/args/errors are then carved out with columnar
     // filter+project (no object round-trip, no second extraction pass,
     // no nested Seq cache).
-    val ke = turns.flatMap { t =>
+    val ke = timedStage("ke_checkpoint") { turns.flatMap { t =>
       val k = MentionExtractor.extractTurn(t)
       val ms = k.mentions.iterator.map(m => (1, m, null: Statement, null: EventArg, null: String))
       val ss = k.statements.iterator.map(s => (2, null: Mention, s, null: EventArg, null: String))
@@ -118,7 +137,7 @@ object Pipeline {
         Iterator((3, null: Mention, null: Statement, null: EventArg, k.error))
       else Iterator.empty
       (ms ++ ss ++ evs ++ eas ++ es).toSeq
-    }.toDF("tag", "m", "s", "a", "error").localCheckpoint(true)
+    }.toDF("tag", "m", "s", "a", "error").localCheckpoint(true) }
     // CARVE the tagged union into four NARROW checkpoints immediately:
     // checkpoint scans can't prune columns (ExistingRDD materializes
     // full rows), so every downstream join/agg over e.g. `statements`
@@ -127,49 +146,75 @@ object Pipeline {
     // statements scan at 2M turns. Four cheap filter+project passes
     // here buy narrow rows for every later consumer; the wide union is
     // then dead and its blocks are dropped.
-    val mentions = ke.filter(col("tag") === 1).select(col("m.*"))
-      .localCheckpoint(true).as[Mention]
-    val statements = ke.filter(col("tag") === 2).select(col("s.*"))
-      .localCheckpoint(true).as[Statement]
-    val errors = ke.filter(col("tag") === 3).select(col("error"))
-      .localCheckpoint(true)
-    val events = ke.filter(col("tag") === 4).select(col("m.*"))
-      .localCheckpoint(true).as[Mention]
-    val eventArgs = ke.filter(col("tag") === 5).select(col("a.*"))
-      .localCheckpoint(true)
+    // the five carves are INDEPENDENT full scans of the same
+    // checkpointed blocks — submit them concurrently so they overlap
+    // (guide §2.6): wall ≈ the slowest scan, not the sum of five
+    val (mentions, statements, errors, events, eventArgs) =
+      timedStage("carve_all") {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fM = Future(ke.filter(col("tag") === 1).select(col("m.*"))
+          .localCheckpoint(true).as[Mention])
+        val fS = Future(ke.filter(col("tag") === 2).select(col("s.*"))
+          .localCheckpoint(true).as[Statement])
+        val fErr = Future(ke.filter(col("tag") === 3).select(col("error"))
+          .localCheckpoint(true))
+        val fEv = Future(ke.filter(col("tag") === 4).select(col("m.*"))
+          .localCheckpoint(true).as[Mention])
+        val fA = Future(ke.filter(col("tag") === 5).select(col("a.*"))
+          .localCheckpoint(true))
+        (Await.result(fM, Duration.Inf), Await.result(fS, Duration.Inf),
+          Await.result(fErr, Duration.Inf), Await.result(fEv, Duration.Inf),
+          Await.result(fA, Duration.Inf))
+      }
     graft.util.Blocks.release(ke)
 
-    val (surf, edges) = Linker.matchEdges(mentions, linkCfg) // surf checkpointed inside
-    val comp = ConnectedComponents.run(edges.toDF())
+    val (surf, edges) = timedStage("linker_matchEdges") { Linker.matchEdges(mentions, linkCfg) } // surf checkpointed inside
+    val comp = timedStage("cc") { ConnectedComponents.run(edges.toDF()) }
     // the edge list's checkpoint blocks are dead once CC has consumed
     // them (CC's first round materialized the symmetric copy); its
     // truncated plan holds no other frame's blocks, so this frees only
     // the edges themselves
     graft.util.Blocks.release(edges.toDF())
-    val surfClusters = Canonicalizer
+    val surfClusters = timedStage("surfClusters") { Canonicalizer
       .withKind(Canonicalizer.surfaceClusters(surf, comp))
-      .localCheckpoint(true)
+      .localCheckpoint(true) }
 
     // size-based auto-switch: below the threshold the surface dict
     // broadcasts (Catalyst picks BroadcastHashJoin from the compact
     // checkpointed stats); above it the explicit salted join defuses
     // the hot-surface key before the sort-merge shuffle.
-    val nSurfaces = surfClusters.count() // checkpointed → cheap metadata-ish scan
+    val nSurfaces = timedStage("nSurfaces_count") { surfClusters.count() } // checkpointed → cheap metadata-ish scan
     val dictFits = nSurfaces <= saltedMembershipRows
-    val memberships =
+    val memberships = timedStage("memberships") {
       (if (dictFits) Canonicalizer.memberships(mentions, surfClusters)
        else Canonicalizer.membershipsSalted(mentions, surfClusters))
-        .localCheckpoint(true)
+        .localCheckpoint(true) }
     // prototypes threads the SAME size gate: an unconditional broadcast
     // hint would force an oversized dictionary past the broadcast limit
     // where un-hinted Catalyst falls back to a shuffle join (which AQE
     // then skew-splits; the downstream groupBy's partial agg absorbs
     // the hot surface either way)
-    val prototypes = Canonicalizer
+    val prototypes = timedStage("prototypes") { Canonicalizer
       .prototypes(mentions, surfClusters, broadcastDict = dictFits)
-      .localCheckpoint(true)
-    val superEdges = SuperEdges.superEdges(statements, memberships)
-      .localCheckpoint(true)
+      .localCheckpoint(true) }
+    // ONE statements⋈memberships² resolution, checkpointed, shared by
+    // THREE consumers (superedges here; relation clusters and
+    // superedge justifications below). Before round 6 each consumer
+    // re-executed the two corpus-scale merge joins — 4 extra
+    // mention-scale shuffles per full-output run (guide §2.4; A/B in
+    // OPTIMIZATION_r06.md).
+    val resolvedStmts = timedStage("resolved_statements") {
+      SuperEdges.resolvedStatements(statements, memberships)
+        .localCheckpoint(true)
+    }
+    val superEdges = timedStage("superEdges") {
+      SuperEdges.superEdgesFromResolved(resolvedStmts).localCheckpoint(true) }
+    // measured (not estimated) relation-cluster count for the
+    // count-join strategy below — a cheap scan of the fresh checkpoint
+    val superEdgesFit = timedStage("superEdges_count") {
+      superEdges.count() } <= BroadcastableAggRows
     val triples = SuperEdges.namedTriples(superEdges, prototypes)
 
     // event coreference runs AFTER entity clustering (argument
@@ -179,22 +224,31 @@ object Pipeline {
     val eventPrototypes = EventCoref.prototypes(eventKeyed)
 
     // superedge-count reuse: the checkpointed superedge aggregate IS the
-    // per-relation-cluster member count, so the statements⋈memberships²
-    // subtree appears once in this lazy plan (no join-back re-execution)
-    val relationClusters = RelationClusters.cluster(statements, memberships, superEdges)
+    // per-relation-cluster member count, and the member rows read the
+    // shared resolved-statement checkpoint — zero joins re-executed;
+    // under the measured-count gate the count side broadcasts, so the
+    // member rows never shuffle at all
+    val relationClusters = RelationClusters.clusterFromResolved(
+      resolvedStmts, superEdges, broadcastCounts = superEdgesFit)
     // the three cluster-level justification/link outputs share ONE
-    // memberships ⋈ mentions join — persisted lazily, so consumers that
+    // member-annotation frame — persisted lazily, so consumers that
     // never touch the justification surface pay nothing, and consumers
-    // that force several outputs scan the join once
-    val annotated = Justifications.annotatedMembers(memberships, mentions)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // that force several outputs scan it once. Under the dictFits gate
+    // it comes straight from the broadcast dictionary join (zero
+    // mention-scale shuffles — the memberships⋈mentions sort-merge the
+    // generic path pays is algebraically redundant there); the salted/
+    // oversized-dictionary path keeps the generic merge join.
+    val annotated =
+      (if (dictFits) Canonicalizer.annotatedMembers(mentions, surfClusters)
+       else Justifications.annotatedMembers(memberships, mentions))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val informativeJustifications =
       Justifications.informativeJustificationsFrom(annotated)
     val clusterLinks = Justifications.clusterLinksFrom(annotated)
     val protoJustifications =
       Justifications.prototypeJustificationsFrom(annotated, prototypes)
     val superEdgeJustifications =
-      Justifications.superEdgeJustifications(statements, memberships)
+      Justifications.superEdgeJustificationsFromResolved(resolvedStmts)
 
     Result(mentions, statements, errors, surf, comp, surfClusters,
       memberships, prototypes, superEdges, triples,

@@ -146,6 +146,23 @@ object Canonicalizer {
       .as[Prototype]
   }
 
+  /** The [[Justifications.annotatedMembers]] frame realized DIRECTLY
+    * from the surface dictionary (round 6, guide §2.4): memberships
+    * are themselves mentions⋈dict ([[memberships]]), so the 1:1
+    * member_id join-back the generic path pays — a corpus-scale
+    * sort-merge of memberships against mentions — is algebraically
+    * redundant. One dictionary join over mentions (broadcast under the
+    * same `dictFits` gate callers thread to [[memberships]]), zero
+    * mention-scale shuffles, identical rows: (member_id, cluster_id,
+    * mention conv/turn/span/conf/link_target). */
+  def annotatedMembers(mentions: Dataset[Mention], surfClusters: DataFrame,
+      broadcastDict: Boolean = true): DataFrame =
+    mentions.toDF()
+      .join(dict(surfClusters, Seq(col("cluster_id")), broadcastDict), dictCond)
+      .select(col("mention_id").as("member_id"), col("cluster_id"),
+        col("conv_id"), col("turn_idx"), col("start_off"), col("end_off"),
+        col("conf"), col("link_target"))
+
   /** Surface-level kind column for surfClusters. Surface clusters are
     * entity-kind BY CONSTRUCTION ([[graft.link.Linker.surfaces]]
     * filters kind="entity"); the reference's other two cluster kinds

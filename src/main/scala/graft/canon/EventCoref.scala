@@ -73,18 +73,21 @@ object EventCoref {
   def prototypes(keyed: DataFrame): Dataset[Prototype] = {
     val spark = keyed.sparkSession
     import spark.implicits._
-    val nameCnt = keyed
+    // ONE aggregate pair, no windows (guide §2.3): `max(struct(cnt,
+    // name))` is lexicographic — max cnt first, ties to the max name —
+    // exactly the old `row_number() OVER (ORDER BY cnt DESC, name
+    // DESC) = 1`; n_members = sum of the per-name counts. prototype_id
+    // and etype are constant within a cluster (both derive from the
+    // cluster key), so grouping by them changes nothing — and the two
+    // window sorts over the name-count table disappear.
+    keyed
       .groupBy(col("cluster_id"), col("prototype_id"), col("etype"), col("name"))
       .agg(count(lit(1)).as("cnt"))
-    val total = Window.partitionBy(col("cluster_id"))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("cnt").desc, col("name").desc)
-    nameCnt
-      .withColumn("n_members", sum(col("cnt")).over(total))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("cluster_id"), col("prototype_id"), col("etype"))
+      .agg(max(struct(col("cnt"), col("name"))).as("best"),
+        sum(col("cnt")).as("n_members"))
       .select(col("prototype_id"), col("cluster_id"), lit("event").as("kind"),
-        col("name"), col("etype"),
+        col("best.name").as("name"), col("etype"),
         lit(null).cast("string").as("link_target"), col("n_members"))
       .as[Prototype]
   }

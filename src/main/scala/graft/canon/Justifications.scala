@@ -57,15 +57,31 @@ object Justifications {
     informativeJustificationsFrom(annotatedMembers(memberships, mentions))
 
   /** [[informativeJustifications]] over a precomputed (possibly
-    * persisted) [[annotatedMembers]] join. */
-  def informativeJustificationsFrom(annotated: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("cluster_id"), col("conv_id"))
-      .orderBy(col("conf").desc, col("member_id").asc)
-    annotated.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("cluster_id"), col("conv_id"), col("member_id"),
-        col("turn_idx"), col("start_off"), col("end_off"), col("conf"))
-  }
+    * persisted) [[annotatedMembers]] join.
+    *
+    * ONE aggregate, not a window (guide §2.3 "aggregate before you
+    * shuffle"): `min(struct(-conf, member_id, …))` is lexicographic —
+    * max conf first, ties to the ASC-min member_id — exactly the old
+    * `row_number() OVER (ORDER BY conf DESC, member_id ASC) = 1`, and
+    * member_id is unique within a (cluster, conv) group (annotated is
+    * a 1:1 join on unique member_id), so the winner is identical.
+    * The groupBy's partial (map-side) aggregation collapses each
+    * group to one row BEFORE the exchange, where the window shuffled
+    * and sorted every member row. Equivalence holds because conf is
+    * never null/NaN here (mention conf is a content-hash in
+    * [0.75, 1.0); the oracle fixture's `value` column is ditto
+    * non-null — both re-verified against the DuckDB oracle). */
+  def informativeJustificationsFrom(annotated: DataFrame): DataFrame =
+    annotated
+      .groupBy(col("cluster_id"), col("conv_id"))
+      .agg(min(struct((-col("conf")).as("nc"), col("member_id"),
+        col("turn_idx"), col("start_off"), col("end_off"))).as("best"))
+      .select(col("cluster_id"), col("conv_id"),
+        col("best.member_id").as("member_id"),
+        col("best.turn_idx").as("turn_idx"),
+        col("best.start_off").as("start_off"),
+        col("best.end_off").as("end_off"),
+        (-col("best.nc")).as("conf"))
 
   /** A3, reference-SPARQL IRI-max variant: max over the member id
     * string (update_kg/sparqls.py:258-268) — kept for parity tests. */
@@ -146,17 +162,20 @@ object Justifications {
     * skew-free by construction); the output key (subj_proto, pred,
     * obj_proto) matches [[graft.superedge.SuperEdges.superEdges]]. */
   def superEdgeJustifications(statements: Dataset[Statement],
-      memberships: Dataset[Membership]): DataFrame = {
-    val m = memberships.toDF()
-    statements.toDF()
-      .join(m.select(col("member_id").as("subj"),
-        col("cluster_id").as("subj_proto")).hint("merge"), "subj")
-      .join(m.select(col("member_id").as("obj"),
-        col("cluster_id").as("obj_proto")).hint("merge"), "obj")
-      .select(col("subj_proto"), col("pred"), col("obj_proto"),
+      memberships: Dataset[Membership]): DataFrame =
+    superEdgeJustificationsFromResolved(
+      graft.superedge.SuperEdges.resolvedStatements(statements, memberships))
+
+  /** [[superEdgeJustifications]] over a PRECOMPUTED (checkpointed)
+    * resolved-statement join — a pure projection; the
+    * statements⋈memberships² subtree is shared with the superedge and
+    * relation-cluster outputs (guide-§2.4 shuffle removal). */
+  def superEdgeJustificationsFromResolved(resolved: DataFrame): DataFrame =
+    resolved
+      .select(col("subj_cluster").as("subj_proto"), col("pred"),
+        col("obj_cluster").as("obj_proto"),
         col("stmt_id"), col("conv_id"), col("turn_idx"),
         col("start_off"), col("end_off"), col("conf"))
-  }
 
   /** Modality-typed cluster informative justifications — the
     * reference's `generate_cluster_inf_just_df` pandas loop

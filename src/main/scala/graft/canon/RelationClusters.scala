@@ -57,10 +57,23 @@ object RelationClusters {
     * Pipeline.Result.unpersist or SnapshotStore's post-write release). */
   def cluster(statements: Dataset[Statement], memberships: Dataset[Membership],
       superEdges: Dataset[SuperEdge]): DataFrame =
-    attachCounts(keyedStatements(statements, memberships),
+    clusterFromResolved(
+      graft.superedge.SuperEdges.resolvedStatements(statements, memberships),
+      superEdges)
+
+  /** Pipeline form over a PRECOMPUTED (checkpointed) resolved-statement
+    * join ([[graft.superedge.SuperEdges.resolvedStatements]]) — the
+    * statements⋈memberships² subtree is shared with the superedge and
+    * superedge-justification outputs instead of re-executing here
+    * (guide-§2.4 shuffle removal; before/after in OPTIMIZATION_r06.md). */
+  def clusterFromResolved(resolved: DataFrame,
+      superEdges: Dataset[SuperEdge],
+      broadcastCounts: Boolean = false): DataFrame =
+    attachCounts(keyedFromResolved(resolved),
       superEdges.toDF().select(col("subj_proto").as("subj_cluster"),
         col("pred"), col("obj_proto").as("obj_cluster"),
-        col("cnt").as("n_members")))
+        col("cnt").as("n_members")),
+      broadcastCounts)
 
   /** Standalone form (no superedge stage available): `keyed` is
     * eagerly materialized so its two corpus-scale joins execute once
@@ -76,26 +89,31 @@ object RelationClusters {
   /** Statements with their argument clusters resolved and the
     * canonical sorted-link-set group key attached (lazy). */
   private[graft] def keyedStatements(statements: Dataset[Statement],
-      memberships: Dataset[Membership]): DataFrame = {
-    val m = memberships.toDF()
-    // merge hints: corpus-scale ⋈ corpus-scale on unique mention ids —
-    // never broadcastable (see [[graft.superedge.SuperEdges]]; the
-    // checkpoint stats undercount and Catalyst would broadcast)
-    statements.toDF()
-      .join(m.select(col("member_id").as("subj"), col("cluster_id").as("subj_cluster"))
-        .hint("merge"), "subj")
-      .join(m.select(col("member_id").as("obj"), col("cluster_id").as("obj_cluster"))
-        .hint("merge"), "obj")
+      memberships: Dataset[Membership]): DataFrame =
+    keyedFromResolved(
+      graft.superedge.SuperEdges.resolvedStatements(statements, memberships))
+
+  /** The canonical sorted-link-set group key over an already-resolved
+    * statement frame (lazy; no joins of its own). */
+  private[graft] def keyedFromResolved(resolved: DataFrame): DataFrame =
+    resolved
       .withColumn("rel_key",
         concat_ws("|", col("pred"),
           array_join(array_sort(array(
             concat(lit("subj:"), col("subj_cluster")),
             concat(lit("obj:"), col("obj_cluster")))), ",")))
-  }
 
-  private def attachCounts(keyed: DataFrame, counts: DataFrame): DataFrame =
+  /** `broadcastCounts`: the caller MEASURED the count side (one row
+    * per relation cluster) under the broadcast gate — an explicit
+    * broadcast then spares the member rows the shuffle+sort entirely
+    * (guide §3.1); the default stays the always-safe merge join
+    * because the count side is corpus-growing and checkpoint-descended
+    * size ESTIMATES undercount (the compile-time-broadcast hazard). */
+  private def attachCounts(keyed: DataFrame, counts: DataFrame,
+      broadcastCounts: Boolean = false): DataFrame =
     keyed
-      .join(counts.hint("merge"), Seq("pred", "subj_cluster", "obj_cluster"))
+      .join(if (broadcastCounts) broadcast(counts) else counts.hint("merge"),
+        Seq("pred", "subj_cluster", "obj_cluster"))
       .withColumn("relation_cluster_id", concat(lit("rc:"), md5(col("rel_key"))))
       .select(col("relation_cluster_id"), col("rel_key"),
         col("stmt_id"), col("n_members"))

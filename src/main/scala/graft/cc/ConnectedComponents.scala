@@ -38,7 +38,8 @@ object ConnectedComponents {
       .filter(col("src") =!= col("dst"))
       .distinct()
 
-  def run(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 30,
+      broadcastableVertices: Long = 250000L): DataFrame = {
     // localCheckpoint (not just persist): persist caches the DATA but
     // the logical plan — the entire upstream linker DAG — would still
     // be embedded in, and re-planned for, every iteration's job;
@@ -48,22 +49,35 @@ object ConnectedComponents {
     var labels = sym.select(col("src").as("sid")).distinct()
       .withColumn("component", col("sid"))
       .localCheckpoint(true)
+    // size-gated join strategy (round 6, guide §3.1): the label /
+    // neighbor-min frames are O(vertices); when the graph is small the
+    // per-round joins broadcast the known-small side EXPLICITLY (never
+    // trusting checkpoint-descended size estimates — the
+    // compile-time-broadcast hazard, graft.superedge.SuperEdges) and
+    // each round stops paying two shuffle+sort pairs. A huge graph
+    // (10^8 surfaces at contract scale) takes the identical
+    // pre-round-6 merge-hinted plan. The count is a cheap metadata-ish
+    // job over the just-checkpointed labels.
+    val small = labels.count() <= broadcastableVertices
+    def bc(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df.hint("merge")
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       // neighbor-min, carrying the previous label so convergence is a
       // free filter on the checkpointed result (no extra shuffle join)
       val minMsgs = sym
-        // merge hint: edges and labels are both vertex/edge-scale —
-        // broadcast would OOM at contract scale, and checkpoint size
-        // estimates can't be trusted (see graft.superedge.SuperEdges)
-        .join(labels.hint("merge"), sym("src") === labels("sid"))
+        // bc(): explicit broadcast under the vertex gate, merge hint
+        // above it — broadcast would OOM at contract scale, and
+        // checkpoint size estimates can't be trusted (see
+        // graft.superedge.SuperEdges)
+        .join(bc(labels), sym("src") === labels("sid"))
         .groupBy(col("dst"))
         .agg(min(col("component")).as("mc"))
       // checkpoint BEFORE the self-join below: self-joining the raw
       // join+agg subtree trips Catalyst union-constraint rewriting
       val prop = labels
-        .join(minMsgs.hint("merge"), labels("sid") === minMsgs("dst"), "left_outer")
+        .join(bc(minMsgs), labels("sid") === minMsgs("dst"), "left_outer")
         .select(labels("sid"), col("component").as("old"),
           least(col("component"), col("mc")).as("component")) // least skips nulls
         .localCheckpoint(true)
@@ -77,7 +91,7 @@ object ConnectedComponents {
       // the round — no third job per round
       val obs = Observation(s"cc_changed_$iter")
       val next = prop
-        .join(propRight.hint("merge"), col("component") === col("y_sid"), "left_outer")
+        .join(bc(propRight), col("component") === col("y_sid"), "left_outer")
         .select(col("sid"), col("old"),
           coalesce(col("y_component"), col("component")).as("component"))
         .observe(obs, coalesce(sum(

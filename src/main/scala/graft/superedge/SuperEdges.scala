@@ -20,30 +20,51 @@ import graft.schema.{Membership, Prototype, Statement, SuperEdge, Triple}
  */
 object SuperEdges {
 
-  /** SuperEdge table over cluster ids. */
-  def superEdges(statements: Dataset[Statement], memberships: Dataset[Membership]): Dataset[SuperEdge] = {
-    val spark = statements.sparkSession
-    import spark.implicits._
+  /** Statements with BOTH argument memberships resolved — the shared
+    * precursor of superedges, relation clusters and superedge
+    * justifications (all three need exactly this join; callers that
+    * produce more than one of those outputs checkpoint THIS once
+    * instead of re-running the two corpus-scale joins per output —
+    * guide-§2.4 shuffle removal, measured in OPTIMIZATION_r06.md).
+    * Output: every Statement column + subj_cluster, obj_cluster.
+    *
+    * EXPLICIT sort-merge: both sides are corpus-scale, so neither may
+    * ever broadcast — but checkpointed inputs inherit their
+    * pre-checkpoint size ESTIMATE (a few MB for a synth range plan),
+    * and Catalyst compile-time-broadcast the 10^6-row statements side
+    * (BuildLeft, profiled at 820 executor-s of the pipeline; at
+    * contract scale it's a straight driver OOM). The merge hint pins
+    * the always-safe spillable shuffle join on mention_id — unique per
+    * membership row, so 1:1 and skew-free. */
+  def resolvedStatements(statements: Dataset[Statement],
+      memberships: Dataset[Membership]): DataFrame = {
     val m = memberships.toDF()
-    val subjM = m.select(col("member_id").as("subj"), col("cluster_id").as("subj_proto"))
-    val objM = m.select(col("member_id").as("obj"), col("cluster_id").as("obj_proto"))
-    // EXPLICIT sort-merge: both sides are corpus-scale, so neither may
-    // ever broadcast — but checkpointed inputs inherit their
-    // pre-checkpoint size ESTIMATE (a few MB for a synth range plan),
-    // and Catalyst compile-time-broadcast the 10^6-row statements side
-    // (BuildLeft, profiled at 820 executor-s of the pipeline; at
-    // contract scale it's a straight driver OOM). The merge hint pins
-    // the always-safe spillable shuffle join on mention_id — unique per
-    // membership row, so 1:1 and skew-free.
     statements.toDF()
-      .join(subjM.hint("merge"), "subj")
-      .join(objM.hint("merge"), "obj")
+      .join(m.select(col("member_id").as("subj"), col("cluster_id").as("subj_cluster"))
+        .hint("merge"), "subj")
+      .join(m.select(col("member_id").as("obj"), col("cluster_id").as("obj_cluster"))
+        .hint("merge"), "obj")
+  }
+
+  /** SuperEdge aggregate over a precomputed [[resolvedStatements]]
+    * frame — one compact groupBy (hot-cluster skew absorbed by
+    * partial aggregation). */
+  def superEdgesFromResolved(resolved: DataFrame): Dataset[SuperEdge] = {
+    val spark = resolved.sparkSession
+    import spark.implicits._
+    resolved
+      .select(col("subj_cluster").as("subj_proto"), col("pred"),
+        col("obj_cluster").as("obj_proto"))
       .groupBy(col("subj_proto"), col("pred"), col("obj_proto"))
       .agg(count(lit(1)).as("cnt"))
       // reference confidence formula, update_kg/sparqls.py:479
       .withColumn("conf", lit(1.0) - lit(1.0) / (lit(2.0) * col("cnt")))
       .as[SuperEdge]
   }
+
+  /** SuperEdge table over cluster ids. */
+  def superEdges(statements: Dataset[Statement], memberships: Dataset[Membership]): Dataset[SuperEdge] =
+    superEdgesFromResolved(resolvedStatements(statements, memberships))
 
   /** ID-insensitive corpus triples for golden P/R comparison:
     * prototype canonical names instead of cluster ids (cluster ids
