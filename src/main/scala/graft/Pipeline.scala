@@ -97,17 +97,8 @@ object Pipeline {
     * guide §3.1). */
   val BroadcastableAggRows: Long = 250000L
 
-  /** Opt-in stage wall-clock prints (SPARK_GRAFT_STAGE_TIMING=1) for
-    * profiling runs — zero overhead otherwise. */
-  private val stageTiming = sys.env.contains("SPARK_GRAFT_STAGE_TIMING")
   private def timedStage[T](name: String)(f: => T): T =
-    if (!stageTiming) f
-    else {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"""{"pstage":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
-      r
-    }
+    graft.util.StageTiming.timed(name)(f)
 
   def run(turns: Dataset[Turn], linkCfg: Linker.Config = Linker.Config(),
       saltedMembershipRows: Long = SaltedMembershipRows): Result = {
@@ -187,34 +178,48 @@ object Pipeline {
     // the hot-surface key before the sort-merge shuffle.
     val nSurfaces = timedStage("nSurfaces_count") { surfClusters.count() } // checkpointed → cheap metadata-ish scan
     val dictFits = nSurfaces <= saltedMembershipRows
-    val memberships = timedStage("memberships") {
-      (if (dictFits) Canonicalizer.memberships(mentions, surfClusters)
-       else Canonicalizer.membershipsSalted(mentions, surfClusters))
-        .localCheckpoint(true) }
-    // prototypes threads the SAME size gate: an unconditional broadcast
-    // hint would force an oversized dictionary past the broadcast limit
-    // where un-hinted Catalyst falls back to a shuffle join (which AQE
-    // then skew-splits; the downstream groupBy's partial agg absorbs
-    // the hot surface either way)
-    val prototypes = timedStage("prototypes") { Canonicalizer
-      .prototypes(mentions, surfClusters, broadcastDict = dictFits)
-      .localCheckpoint(true) }
-    // ONE statements⋈memberships² resolution, checkpointed, shared by
-    // THREE consumers (superedges here; relation clusters and
-    // superedge justifications below). Before round 6 each consumer
-    // re-executed the two corpus-scale merge joins — 4 extra
-    // mention-scale shuffles per full-output run (guide §2.4; A/B in
-    // OPTIMIZATION_r06.md).
-    val resolvedStmts = timedStage("resolved_statements") {
-      SuperEdges.resolvedStatements(statements, memberships)
-        .localCheckpoint(true)
-    }
-    val superEdges = timedStage("superEdges") {
-      SuperEdges.superEdgesFromResolved(resolvedStmts).localCheckpoint(true) }
-    // measured (not estimated) relation-cluster count for the
-    // count-join strategy below — a cheap scan of the fresh checkpoint
-    val superEdgesFit = timedStage("superEdges_count") {
-      superEdges.count() } <= BroadcastableAggRows
+    // TWO INDEPENDENT materialization chains overlap here (guide
+    // §2.6 — Spark happily runs concurrent jobs; the serial ordering
+    // was only ever our driver code): memberships → resolved
+    // statements → superedges on one thread, prototypes on the other.
+    // prototypes threads the SAME dictFits gate as memberships: an
+    // unconditional broadcast hint would force an oversized dictionary
+    // past the broadcast limit where un-hinted Catalyst falls back to
+    // a shuffle join (which AQE then skew-splits; the downstream
+    // groupBy's partial agg absorbs the hot surface either way).
+    val (memberships, resolvedStmts, superEdges, superEdgesFit, prototypes) =
+      timedStage("memberships_to_superedges_and_prototypes") {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fChain = Future {
+          val ms = timedStage("memberships") {
+            (if (dictFits) Canonicalizer.memberships(mentions, surfClusters)
+             else Canonicalizer.membershipsSalted(mentions, surfClusters))
+              .localCheckpoint(true) }
+          // ONE statements⋈memberships² resolution, checkpointed,
+          // shared by THREE consumers (superedges here; relation
+          // clusters and superedge justifications below). Before round
+          // 6 each consumer re-executed the two corpus-scale merge
+          // joins — 4 extra mention-scale shuffles per full-output run
+          // (guide §2.4; A/B in OPTIMIZATION_r06.md).
+          val resolved = timedStage("resolved_statements") {
+            SuperEdges.resolvedStatements(statements, ms)
+              .localCheckpoint(true) }
+          val se = timedStage("superEdges") {
+            SuperEdges.superEdgesFromResolved(resolved).localCheckpoint(true) }
+          // measured (not estimated) relation-cluster count for the
+          // count-join strategy below — a cheap scan of the checkpoint
+          val fit = timedStage("superEdges_count") {
+            se.count() } <= BroadcastableAggRows
+          (ms, resolved, se, fit)
+        }
+        val fProto = Future(timedStage("prototypes") { Canonicalizer
+          .prototypes(mentions, surfClusters, broadcastDict = dictFits)
+          .localCheckpoint(true) })
+        val (ms, resolved, se, fit) = Await.result(fChain, Duration.Inf)
+        (ms, resolved, se, fit, Await.result(fProto, Duration.Inf))
+      }
     val triples = SuperEdges.namedTriples(superEdges, prototypes)
 
     // event coreference runs AFTER entity clustering (argument

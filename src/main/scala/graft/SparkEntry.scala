@@ -86,19 +86,27 @@ object SparkEntry {
       t(s, d, "events").groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))),
     "q_group_count" -> ((s, d) => // A2: members per cluster
       t(s, d, "orders").groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))),
-    "q_argmax_per_group" -> ((s, d) => { // A3/W4: max-conf row per group
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("value").desc, col("event_id").desc)
-      t(s, d, "events").withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("user_id"), col("event_id"))
+    "q_argmax_per_group" -> ((s, d) => { // A3/W4: max-conf row per group.
+      // ONE aggregate, not a window (round 6, guide §2.3):
+      // max(struct(value, event_id)) is lexicographic — max value,
+      // ties to the max event_id — exactly row_number() OVER
+      // (ORDER BY value DESC, event_id DESC) = 1, with map-side
+      // partial aggregation instead of a full per-partition sort
+      // (value is never null/NaN in the fixture; the oracle
+      // hash-checks equality)
+      t(s, d, "events").groupBy(col("user_id"))
+        .agg(max(struct(col("value"), col("event_id"))).as("best"))
+        .select(col("user_id"), col("best.event_id").as("event_id"))
     }),
-    "q_mode_tiebreak" -> ((s, d) => { // A5: mode with max tie-break
-      val c = t(s, d, "events").groupBy(col("user_id"), col("event_type"))
+    "q_mode_tiebreak" -> ((s, d) => { // A5: mode with max tie-break.
+      // max(struct(cnt, event_type)) ≡ row_number() OVER (ORDER BY cnt
+      // DESC, event_type DESC) = 1 — the same window→aggregate rewrite
+      // as q_argmax_per_group (round 6, guide §2.3)
+      t(s, d, "events").groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("cnt").desc, col("event_type").desc)
-      c.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("user_id"), col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("cnt"), col("event_type"))).as("best"))
+        .select(col("user_id"), col("best.event_type").as("event_type"))
     }),
     "q_superedge_conf" -> ((s, d) => // A6+P12: count + 1-1/(2n)
       t(s, d, "events").groupBy(col("user_id"), col("event_type"))

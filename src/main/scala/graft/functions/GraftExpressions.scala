@@ -151,6 +151,48 @@ object GraftExpressions {
     new GenericArrayData(java.util.Arrays.copyOf(hs, out))
   }
 
+  /** Gopher-style duplicate-bigram counts over the lowercased alnum
+    * word stream — bit-parity with the Column formulation in
+    * [[graft.ops.Clean.repetitionStats]] (filter(split(regexp_replace(
+    * lower(text), "[^a-z0-9]+", " "), " "), _ =!= "") + zip_with +
+    * array_distinct): words are maximal [a-z0-9] runs of the
+    * UTF8String-lowercased text (any other char — including each
+    * surrogate of a non-ASCII codepoint, which the char-class regex
+    * also rejects — separates), bigram identity is the joined
+    * "w1 w2" string, which is uniquely parseable because words carry
+    * no spaces. Returns (n_bigrams, n_dup); (0, 0) under two words. */
+  private[functions] def bigramStats(text: UTF8String): (Long, Long) = {
+    val s = text.toLowerCase.toString
+    val n = s.length
+    // word-id assignment on the fly; bigram set as packed (id1, id2)
+    val ids = new java.util.HashMap[String, Integer]()
+    val seen = new java.util.HashSet[Long]()
+    var nBigrams = 0L
+    var nDup = 0L
+    var prevId = -1
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        val start = i
+        while (i < n && {
+          val d = s.charAt(i)
+          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) i += 1
+        val w = s.substring(start, i)
+        var id = ids.get(w)
+        if (id == null) { id = ids.size(); ids.put(w, id) }
+        if (prevId >= 0) {
+          nBigrams += 1
+          if (!seen.add((prevId.toLong << 32) | (id.toLong & 0xffffffffL)))
+            nDup += 1
+        }
+        prevId = id
+      } else i += 1
+    }
+    (nBigrams, nDup)
+  }
+
   private[functions] def toDouble(a: ArrayData, et: DataType, i: Int): Double = et match {
     case FloatType => a.getFloat(i).toDouble
     case DoubleType => a.getDouble(i)
@@ -260,6 +302,24 @@ case class Shingles64Expr(child: Expression, k: Int)
   override protected def nullSafeEval(input: Any): Any =
     GraftExpressions.shingles64(input.asInstanceOf[UTF8String], k)
   override protected def withNewChildInternal(newChild: Expression): Shingles64Expr =
+    copy(child = newChild)
+}
+
+/** graft_bigram_stats(text) → struct<n_bigrams:bigint, n_dup:bigint>
+  * (see [[GraftExpressions.bigramStats]]) — replaces the interpreted
+  * split/zip_with/array_distinct tree, which materialized two bigram
+  * arrays per row and paid per-element lambda evaluation. */
+case class BigramStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("n_dup", LongType, nullable = false)))
+  override def prettyName: String = "graft_bigram_stats"
+  override protected def nullSafeEval(input: Any): Any = {
+    val (nb, nd) = GraftExpressions.bigramStats(input.asInstanceOf[UTF8String])
+    org.apache.spark.sql.catalyst.InternalRow(nb, nd)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BigramStatsExpr =
     copy(child = newChild)
 }
 

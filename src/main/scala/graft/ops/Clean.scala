@@ -96,23 +96,22 @@ object Clean {
     * engine-portable bit-for-bit; ratio = n_dup / n_bigrams. */
   def repetitionStats(docs: DataFrame): DataFrame = {
     // NULL text counts as an empty word stream (0 bigrams, 0 dups) —
-    // without the coalesce, size(null)=null skips the when() guard and
-    // the row emits NULL counts, diverging from the DuckDB oracle's
-    // coalesced 0s and from Clean's null-doc convention elsewhere
-    val words = filter(
-      split(regexp_replace(lower(coalesce(col("text"), lit(""))),
-        "[^a-z0-9]+", " "), " ", -1),
-      w => w =!= "")
-    val n = size(words)
-    val bigrams = zip_with(
-      slice(words, lit(1), greatest(n - 1, lit(0))),
-      slice(words, lit(2), greatest(n - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
-    docs.select(col("doc_id"),
-        when(n < 2, lit(0)).otherwise(size(bigrams)).cast("long").as("n_bigrams"),
-        when(n < 2, lit(0))
-          .otherwise(size(bigrams) - size(array_distinct(bigrams)))
-          .cast("long").as("n_dup"))
+    // the coalesce keeps the null-doc convention of the rest of Clean.
+    // ONE native kernel call per row (graft_bigram_stats, round 6):
+    // the previous split/zip_with/array_distinct Column tree
+    // materialized two bigram string arrays per row and paid
+    // per-element interpreted lambda evaluation — HOFs don't codegen
+    // (same finding as the shingle kernels, BASELINE.md round 5); the
+    // kernel computes both counts in one tight JVM scan with no
+    // intermediate arrays. Values are bit-identical (OpsSpec pins the
+    // old formulation; the q_repetition_ngrams oracle hash-checks it).
+    // Two-step select so the struct is not inlined per field.
+    docs
+      .withColumn("_bs",
+        call_function("graft_bigram_stats", coalesce(col("text"), lit(""))))
+      .select(col("doc_id"),
+        col("_bs.n_bigrams").as("n_bigrams"),
+        col("_bs.n_dup").as("n_dup"))
   }
 
   // conservative patterns valid in BOTH Java regex (Spark) and RE2

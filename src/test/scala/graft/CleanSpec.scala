@@ -47,6 +47,42 @@ class CleanSpec extends AnyFunSuite {
     assert(out(2L) == "a\nc")
   }
 
+  test("repetitionStats native kernel matches the Column formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    // the round-6 graft_bigram_stats kernel replaced the interpreted
+    // split/zip_with/array_distinct tree — pin equality on edge cases:
+    // unicode (non-ASCII separates like the char-class regex), digit
+    // words, punctuation runs, empty/whitespace/null text, >32k word
+    // ids are irrelevant but repeated far-apart bigrams are not
+    val d = docs(
+      1L -> "a b a b a",
+      2L -> "Héllo wörld héllo wörld",  // é/ö split words: "h llo w rld"×2
+      3L -> "a1 2b a1 2b",
+      4L -> "  ",
+      5L -> "one",
+      6L -> "x y x z x y x z x y",
+      7L -> "漢字 kanji 漢字 kanji",
+      8L -> null)
+    val words = filter(
+      split(regexp_replace(lower(coalesce(col("text"), lit(""))),
+        "[^a-z0-9]+", " "), " ", -1),
+      w => w =!= "")
+    val n = size(words)
+    val bigrams = zip_with(
+      slice(words, lit(1), greatest(n - 1, lit(0))),
+      slice(words, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val reference = d.select(col("doc_id"),
+        when(n < 2, lit(0)).otherwise(size(bigrams)).cast("long").as("n_bigrams"),
+        when(n < 2, lit(0))
+          .otherwise(size(bigrams) - size(array_distinct(bigrams)))
+          .cast("long").as("n_dup"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val kernel = Clean.repetitionStats(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(kernel == reference)
+  }
+
   test("repetitionStats counts duplicate word bigrams") {
     val d = docs(
       1L -> "a b a b a",  // bigrams: ab ba ab ba → 4 total, 2 dup
