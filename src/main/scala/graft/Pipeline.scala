@@ -223,8 +223,15 @@ object Pipeline {
     val triples = SuperEdges.namedTriples(superEdges, prototypes)
 
     // event coreference runs AFTER entity clustering (argument
-    // identity is cluster-level) — lazy plans over checkpointed inputs
-    val eventKeyed = EventCoref.keyedEvents(events, eventArgs, memberships)
+    // identity is cluster-level) — lazy plans over checkpointed
+    // inputs. Under the dictFits gate the args resolve through the
+    // broadcast surface dictionary (EventArg carries the surface key
+    // from extraction) instead of sort-merging against corpus-scale
+    // memberships — identical clusters, two fewer mention-scale
+    // shuffle+sorts (guide §8; parity pinned in EventGoldenSpec).
+    val eventKeyed =
+      if (dictFits) EventCoref.keyedEventsViaDict(events, eventArgs, surfClusters)
+      else EventCoref.keyedEvents(events, eventArgs, memberships)
     val eventMemberships = EventCoref.memberships(eventKeyed)
     val eventPrototypes = EventCoref.prototypes(eventKeyed)
 

@@ -39,12 +39,40 @@ object EventCoref {
     // merge hint: arg-scale ⋈ membership-scale, both corpus-scale —
     // never broadcastable (checkpoint stats undercount; see
     // graft.superedge.SuperEdges)
-    val argKeys = eventArgs
-      .join(m.hint("merge"), "arg_id")
+    keyed(events, argKeysFrom(eventArgs.join(m.hint("merge"), "arg_id")))
+  }
+
+  /** [[keyedEvents]] resolved through a BROADCASTABLE surface
+    * dictionary instead of corpus-scale memberships (round 6, guide
+    * §8): a mention's membership is a pure function of its surface,
+    * and [[graft.schema.EventArg]] carries the arg's surface key from
+    * extraction, so under the same `dictFits` gate the pipeline
+    * threads to [[Canonicalizer.memberships]] the arg⋈membership
+    * sort-merge (two corpus-scale shuffle+sorts) collapses to one
+    * broadcast hash join. Result ≡ [[keyedEvents]] — pinned by
+    * EventGoldenSpec's parity test. */
+  def keyedEventsViaDict(events: Dataset[Mention], eventArgs: DataFrame,
+      surfClusters: DataFrame, broadcastDict: Boolean = true): DataFrame = {
+    val d0 = surfClusters.select(col("etype").as("s_etype"),
+      col("norm_name").as("s_norm"), col("link_target").as("s_link"),
+      col("cluster_id").as("arg_cluster"))
+    val d = if (broadcastDict) broadcast(d0) else d0
+    val resolved = eventArgs.join(d,
+      col("etype") === col("s_etype") && col("norm_name") === col("s_norm") &&
+        (col("link_target") <=> col("s_link")))
+    keyed(events, argKeysFrom(resolved))
+  }
+
+  /** Per-event sorted role:cluster key from arg rows that carry an
+    * `arg_cluster` column (≤ a handful of rows per event). */
+  private def argKeysFrom(resolvedArgs: DataFrame): DataFrame =
+    resolvedArgs
       .select(col("event_id"),
         concat_ws(":", col("role"), col("arg_cluster")).as("rc"))
       .groupBy(col("event_id"))
       .agg(array_join(array_sort(collect_list(col("rc"))), ",").as("argkey"))
+
+  private def keyed(events: Dataset[Mention], argKeys: DataFrame): DataFrame =
     events.toDF()
       .select(col("mention_id").as("event_id"), col("etype"), col("name"),
         col("conv_id"), col("turn_idx"))
@@ -55,7 +83,6 @@ object EventCoref {
       .withColumn("cluster_id", concat(lit("ec:"), md5(col("ekey"))))
       .withColumn("prototype_id", concat(lit("ep:"), md5(col("ekey"))))
       .drop("argkey")
-  }
 
   /** Event cluster memberships (conf = 1.0, the reference constant —
     * update_kg/Updater.py:565, same for all three cluster kinds). */

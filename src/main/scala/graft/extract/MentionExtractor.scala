@@ -168,8 +168,10 @@ object MentionExtractor {
           events += Mention(evId, t.conv_id, t.turn_idx, "event", pred,
             trigText, v, toks(gapStart).start,
             toks(gapStart + gapLen - 1).end, conf(evId), null)
-          eventArgs += EventArg(evId, "Subject", m1.mention_id)
-          eventArgs += EventArg(evId, "Object", m2.mention_id)
+          eventArgs += EventArg(evId, "Subject", m1.mention_id,
+            m1.etype, m1.norm_name, m1.link_target)
+          eventArgs += EventArg(evId, "Object", m2.mention_id,
+            m2.etype, m2.norm_name, m2.link_target)
           // optional place clause: ... S2 in S3(GPE)
           var placeFound = false
           if (k + 2 < spArr.length) {
@@ -182,7 +184,8 @@ object MentionExtractor {
                 md5(s"${t.conv_id}|${t.turn_idx}|$pred.Place|${m1.mention_id}|${m3.mention_id}"),
                 m1.mention_id, pred + ".Place", m3.mention_id, conf(pred + m3.mention_id),
                 t.conv_id, t.turn_idx, s1.start, s3.end)
-              eventArgs += EventArg(evId, "Place", m3.mention_id)
+              eventArgs += EventArg(evId, "Place", m3.mention_id,
+                m3.etype, m3.norm_name, m3.link_target)
               placeFound = true
             }
           }
@@ -201,7 +204,9 @@ object MentionExtractor {
             if (sp.startIdx - prev.endIdx == 2 &&
               toks(prev.endIdx + 1).clean.toLowerCase == connector &&
               sp.etype == Lexicon.PER) {
-              eventArgs += EventArg(evId, "Participant", mentions(pIdx).mention_id)
+              val mp = mentions(pIdx)
+              eventArgs += EventArg(evId, "Participant", mp.mention_id,
+                mp.etype, mp.norm_name, mp.link_target)
               connector = "and"
               pIdx += 1
             } else more = false

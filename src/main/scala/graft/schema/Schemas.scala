@@ -62,11 +62,22 @@ final case class Statement(
   * role label — the analog of the reference's per-entity-type event
   * argument lists in the event json head
   * (update_kg/Updater.py:323-345: trigger `text[]` + typed argument
-  * arrays keyed by entity type). Roles here: Subject | Object | Place. */
+  * arrays keyed by entity type). Roles here: Subject | Object | Place.
+  *
+  * The arg mention's SURFACE KEY (etype, norm_name, link_target) is
+  * carried denormalized from extraction (round 6, guide §8 "shuffle
+  * keys and metadata instead of payloads"): membership of a mention is
+  * a pure function of its surface, so a broadcastable surface
+  * dictionary resolves the arg's cluster from these ~30 bytes directly
+  * — [[graft.canon.EventCoref.keyedEventsViaDict]] — instead of
+  * sort-merging the arg table against corpus-scale memberships. */
 final case class EventArg(
     event_id: String,
     role: String,
-    arg_id: String)
+    arg_id: String,
+    etype: String,
+    norm_name: String,
+    link_target: String)
 
 /** Cross-mention match edge produced by the linker (blocking +
   * scoring); input to connected components. */

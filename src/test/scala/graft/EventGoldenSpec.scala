@@ -71,9 +71,9 @@ class EventGoldenSpec extends AnyFunSuite {
     // name-level)
     val keyed = Seq(("e1", "Meet", "ev1")).toDF("event_id", "etype", "cluster_id")
     val args = Seq(
-      graft.schema.EventArg("e1", "Participant", "a1"),
-      graft.schema.EventArg("e1", "Participant", "a2"),
-      graft.schema.EventArg("e1", "Subject", "a3")).toDS().toDF()
+      graft.schema.EventArg("e1", "Participant", "a1", "Person", "alex", null),
+      graft.schema.EventArg("e1", "Participant", "a2", "Person", "aelx", null),
+      graft.schema.EventArg("e1", "Subject", "a3", "Person", "sam", null)).toDS().toDF()
     val ms = Seq(
       graft.schema.Membership("cX", "a1", 1.0),
       graft.schema.Membership("cY", "a2", 1.0),
@@ -86,5 +86,21 @@ class EventGoldenSpec extends AnyFunSuite {
     assert(rows.length == 1)
     assert(rows.head.getAs[String]("participants") == "Alex")
     assert(rows.head.getAs[String]("subj") == "Sam")
+  }
+
+  test("keyedEventsViaDict matches the membership-join path bit-for-bit") {
+    // the round-6 dict-resolution path must produce the identical
+    // keyed-event table (same ekey/cluster per event) as the generic
+    // memberships sort-merge — compared as full row sets on a corpus
+    // with events, places, participants, aliases and typos
+    val cfg = TranscriptSynth.Config(nConvs = 120, turnsPerConv = 10)
+    val r = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = 8))
+    val viaMs = EventCoref.keyedEvents(r.events, r.eventArgs, r.memberships)
+      .collect().map(_.toString).sorted
+    val viaDict = EventCoref
+      .keyedEventsViaDict(r.events, r.eventArgs, r.surfaceClusters)
+      .collect().map(_.toString).sorted
+    assert(viaMs.sameElements(viaDict))
+    r.unpersist()
   }
 }
