@@ -56,9 +56,11 @@ object Pipeline {
       clusterLinks: DataFrame,
       protoJustifications: DataFrame,
       superEdgeJustifications: DataFrame,
-      // the lazily-persisted memberships⋈mentions join the three
-      // cluster-level justification outputs share — exposed so callers
-      // OWN its lifecycle (see [[Result.unpersist]])
+      // the member-annotation frame the three cluster-level
+      // justification outputs share — a plain broadcast-dictionary
+      // plan when the dictionary fits (nothing to cache), the
+      // lazily-persisted memberships⋈mentions join otherwise; exposed
+      // so callers OWN its lifecycle (see [[Result.unpersist]])
       annotatedMembers: DataFrame) {
 
     /** Release EVERY block this run pinned: the lazily-persisted
@@ -192,19 +194,25 @@ object Pipeline {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
+        val fMem = Future(timedStage("memberships") {
+          (if (dictFits) Canonicalizer.memberships(mentions, surfClusters)
+           else Canonicalizer.membershipsSalted(mentions, surfClusters))
+            .localCheckpoint(true) })
+        // ONE statements⋈memberships² resolution, checkpointed, shared
+        // by THREE consumers (superedges here; relation clusters and
+        // superedge justifications below). Before round 6 each consumer
+        // re-executed the two corpus-scale merge joins — 4 extra
+        // mention-scale shuffles per full-output run (guide §2.4; A/B
+        // in OPTIMIZATION_r06.md). Under dictFits the two membership
+        // sort-merges collapse to broadcast dictionary joins (Statement
+        // carries both arg surface keys from extraction — guide §8) and
+        // the chain does not wait on memberships at all.
         val fChain = Future {
-          val ms = timedStage("memberships") {
-            (if (dictFits) Canonicalizer.memberships(mentions, surfClusters)
-             else Canonicalizer.membershipsSalted(mentions, surfClusters))
-              .localCheckpoint(true) }
-          // ONE statements⋈memberships² resolution, checkpointed,
-          // shared by THREE consumers (superedges here; relation
-          // clusters and superedge justifications below). Before round
-          // 6 each consumer re-executed the two corpus-scale merge
-          // joins — 4 extra mention-scale shuffles per full-output run
-          // (guide §2.4; A/B in OPTIMIZATION_r06.md).
           val resolved = timedStage("resolved_statements") {
-            SuperEdges.resolvedStatements(statements, ms)
+            (if (dictFits)
+               SuperEdges.resolvedStatementsViaDict(statements, surfClusters)
+             else SuperEdges.resolvedStatements(statements,
+               Await.result(fMem, Duration.Inf)))
               .localCheckpoint(true) }
           val se = timedStage("superEdges") {
             SuperEdges.superEdgesFromResolved(resolved).localCheckpoint(true) }
@@ -212,13 +220,14 @@ object Pipeline {
           // count-join strategy below — a cheap scan of the checkpoint
           val fit = timedStage("superEdges_count") {
             se.count() } <= BroadcastableAggRows
-          (ms, resolved, se, fit)
+          (resolved, se, fit)
         }
         val fProto = Future(timedStage("prototypes") { Canonicalizer
           .prototypes(mentions, surfClusters, broadcastDict = dictFits)
           .localCheckpoint(true) })
-        val (ms, resolved, se, fit) = Await.result(fChain, Duration.Inf)
-        (ms, resolved, se, fit, Await.result(fProto, Duration.Inf))
+        val (resolved, se, fit) = Await.result(fChain, Duration.Inf)
+        (Await.result(fMem, Duration.Inf), resolved, se, fit,
+          Await.result(fProto, Duration.Inf))
       }
     val triples = SuperEdges.namedTriples(superEdges, prototypes)
 
@@ -243,16 +252,18 @@ object Pipeline {
     val relationClusters = RelationClusters.clusterFromResolved(
       resolvedStmts, superEdges, broadcastCounts = superEdgesFit)
     // the three cluster-level justification/link outputs share ONE
-    // member-annotation frame — persisted lazily, so consumers that
-    // never touch the justification surface pay nothing, and consumers
-    // that force several outputs scan it once. Under the dictFits gate
-    // it comes straight from the broadcast dictionary join (zero
-    // mention-scale shuffles — the memberships⋈mentions sort-merge the
-    // generic path pays is algebraically redundant there); the salted/
-    // oversized-dictionary path keeps the generic merge join.
+    // member-annotation frame. Under the dictFits gate it comes
+    // straight from the broadcast dictionary join (zero mention-scale
+    // shuffles — the memberships⋈mentions sort-merge the generic path
+    // pays is algebraically redundant there), and is NOT persisted:
+    // each consumer's plan is a checkpoint scan + broadcast hash join,
+    // cheaper than writing a mention-scale cache and re-reading it,
+    // and concurrent consumers stop serializing on the cache build.
+    // The salted/oversized-dictionary path keeps the generic merge
+    // join and the shared persist (there the join IS expensive).
     val annotated =
-      (if (dictFits) Canonicalizer.annotatedMembers(mentions, surfClusters)
-       else Justifications.annotatedMembers(memberships, mentions))
+      if (dictFits) Canonicalizer.annotatedMembers(mentions, surfClusters)
+      else Justifications.annotatedMembers(memberships, mentions)
         .persist(StorageLevel.MEMORY_AND_DISK)
     val informativeJustifications =
       Justifications.informativeJustificationsFrom(annotated)

@@ -539,7 +539,15 @@ object SparkEntry {
       get_json_object(col("props"), "$.k").as("obj"),
       col("value").as("conf"),
       col("user_id").cast("string").as("conv_id"),
-      lit(0).as("turn_idx"), lit(0).as("start_off"), lit(1).as("end_off"))
+      lit(0).as("turn_idx"), lit(0).as("start_off"), lit(1).as("end_off"),
+      // no surface keys on fabricated statements — these fixtures
+      // exercise the membership-join path (schema requires the cols)
+      lit(null).cast("string").as("subj_etype"),
+      lit(null).cast("string").as("subj_norm"),
+      lit(null).cast("string").as("subj_link"),
+      lit(null).cast("string").as("obj_etype"),
+      lit(null).cast("string").as("obj_norm"),
+      lit(null).cast("string").as("obj_link"))
       .as[Statement]
     val members = ev.select(col("user_id").cast("long").as("mid"))
       .union(ev.select(get_json_object(col("props"), "$.k").cast("long").as("mid")))

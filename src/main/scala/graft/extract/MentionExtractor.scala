@@ -156,7 +156,9 @@ object MentionExtractor {
           stmts += Statement(
             md5(s"${t.conv_id}|${t.turn_idx}|$pred|${m1.mention_id}|${m2.mention_id}"),
             m1.mention_id, pred, m2.mention_id, conf(pred + m1.mention_id),
-            t.conv_id, t.turn_idx, s1.start, s2.end)
+            t.conv_id, t.turn_idx, s1.start, s2.end,
+            m1.etype, m1.norm_name, m1.link_target,
+            m2.etype, m2.norm_name, m2.link_target)
           // event mention: the trigger span IS the event (kind="event",
           // etype = event type, name = trigger surface text — the
           // reference's event json head carries exactly trigger text +
@@ -183,7 +185,9 @@ object MentionExtractor {
               stmts += Statement(
                 md5(s"${t.conv_id}|${t.turn_idx}|$pred.Place|${m1.mention_id}|${m3.mention_id}"),
                 m1.mention_id, pred + ".Place", m3.mention_id, conf(pred + m3.mention_id),
-                t.conv_id, t.turn_idx, s1.start, s3.end)
+                t.conv_id, t.turn_idx, s1.start, s3.end,
+                m1.etype, m1.norm_name, m1.link_target,
+                m3.etype, m3.norm_name, m3.link_target)
               eventArgs += EventArg(evId, "Place", m3.mention_id,
                 m3.etype, m3.norm_name, m3.link_target)
               placeFound = true

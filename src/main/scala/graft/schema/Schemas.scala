@@ -46,7 +46,16 @@ final case class Mention(
 /** Reified statement with justification provenance — the analog of
   * rdf:Statement {rdf:subject, rdf:predicate, rdf:object} +
   * aida:justifiedBy (reference: update_kg/sparqls.py:100-103,489-491,
-  * 522-527). subj/obj are mention_ids pre-canonicalization. */
+  * 522-527). subj/obj are mention_ids pre-canonicalization.
+  *
+  * The argument mentions' SURFACE KEYS are carried denormalized from
+  * extraction (round 6, same rationale as [[EventArg]]): a mention's
+  * cluster is a pure function of its surface, so a broadcastable
+  * dictionary resolves both argument clusters from these ~40 bytes —
+  * [[graft.superedge.SuperEdges.resolvedStatementsViaDict]] — instead
+  * of two corpus-scale membership sort-merges. Null-defaulted so
+  * surface-less fixtures (the oracle fabrications, tests) keep the
+  * membership-join path unchanged. */
 final case class Statement(
     stmt_id: String,
     subj: String,
@@ -56,7 +65,13 @@ final case class Statement(
     conv_id: String,
     turn_idx: Int,
     start_off: Int,
-    end_off: Int)
+    end_off: Int,
+    subj_etype: String = null,
+    subj_norm: String = null,
+    subj_link: String = null,
+    obj_etype: String = null,
+    obj_norm: String = null,
+    obj_link: String = null)
 
 /** Typed event-argument edge: event mention → entity mention with a
   * role label — the analog of the reference's per-entity-type event

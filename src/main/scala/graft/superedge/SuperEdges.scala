@@ -36,14 +36,48 @@ object SuperEdges {
     * contract scale it's a straight driver OOM). The merge hint pins
     * the always-safe spillable shuffle join on mention_id — unique per
     * membership row, so 1:1 and skew-free. */
+  private val SurfaceCols = Seq("subj_etype", "subj_norm", "subj_link",
+    "obj_etype", "obj_norm", "obj_link")
+
   def resolvedStatements(statements: Dataset[Statement],
       memberships: Dataset[Membership]): DataFrame = {
     val m = memberships.toDF()
-    statements.toDF()
+    statements.toDF().drop(SurfaceCols: _*)
       .join(m.select(col("member_id").as("subj"), col("cluster_id").as("subj_cluster"))
         .hint("merge"), "subj")
       .join(m.select(col("member_id").as("obj"), col("cluster_id").as("obj_cluster"))
         .hint("merge"), "obj")
+  }
+
+  /** [[resolvedStatements]] resolved through a BROADCASTABLE surface
+    * dictionary instead of corpus-scale memberships (round 6, guide
+    * §8): a mention's cluster is a pure function of its surface, and
+    * [[graft.schema.Statement]] carries both argument surface keys
+    * from extraction, so under the caller's `dictFits` gate the two
+    * membership sort-merges collapse to two broadcast hash joins.
+    * Result ≡ [[resolvedStatements]] (PipelineGoldenSpec parity);
+    * callers whose statements carry no surface keys (fixtures) must
+    * use the membership path. */
+  def resolvedStatementsViaDict(statements: Dataset[Statement],
+      surfClusters: DataFrame, broadcastDict: Boolean = true): DataFrame = {
+    def dictFor(p: String, out: String): DataFrame = {
+      val d = surfClusters.select(col("etype").as(s"${p}_d_etype"),
+        col("norm_name").as(s"${p}_d_norm"),
+        col("link_target").as(s"${p}_d_link"), col("cluster_id").as(out))
+      if (broadcastDict) broadcast(d) else d
+    }
+    statements.toDF()
+      .join(dictFor("s", "subj_cluster"),
+        col("subj_etype") === col("s_d_etype") &&
+          col("subj_norm") === col("s_d_norm") &&
+          (col("subj_link") <=> col("s_d_link")))
+      .join(dictFor("o", "obj_cluster"),
+        col("obj_etype") === col("o_d_etype") &&
+          col("obj_norm") === col("o_d_norm") &&
+          (col("obj_link") <=> col("o_d_link")))
+      .drop("s_d_etype", "s_d_norm", "s_d_link",
+        "o_d_etype", "o_d_norm", "o_d_link")
+      .drop(SurfaceCols: _*)
   }
 
   /** SuperEdge aggregate over a precomputed [[resolvedStatements]]

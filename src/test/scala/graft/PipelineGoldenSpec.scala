@@ -79,4 +79,26 @@ class PipelineGoldenSpec extends AnyFunSuite {
       .sortBy(t => (t.conv_id, t.turn_idx))
     assert(ds.toSeq == local)
   }
+
+  test("resolvedStatementsViaDict matches the membership-join path bit-for-bit") {
+    // the round-6 dictionary resolution of statement argument clusters
+    // must produce the identical resolved frame as the generic
+    // memberships sort-merge — full row-set equality on a corpus with
+    // aliases, typos, KB links and Place statements
+    val cfg = TranscriptSynth.Config(nConvs = 120, turnsPerConv = 10)
+    val r = Pipeline.run(TranscriptSynth.turnsDs(spark, cfg, partitions = 8))
+    // align column order before comparing row strings (USING joins
+    // move key columns to the front on the membership path)
+    val cols = Seq("stmt_id", "subj", "pred", "obj", "conf", "conv_id",
+      "turn_idx", "start_off", "end_off", "subj_cluster", "obj_cluster")
+      .map(org.apache.spark.sql.functions.col)
+    val viaMs = graft.superedge.SuperEdges
+      .resolvedStatements(r.statements, r.memberships)
+      .select(cols: _*).collect().map(_.toString).sorted
+    val viaDict = graft.superedge.SuperEdges
+      .resolvedStatementsViaDict(r.statements, r.surfaceClusters)
+      .select(cols: _*).collect().map(_.toString).sorted
+    assert(viaMs.sameElements(viaDict))
+    r.unpersist()
+  }
 }
