@@ -180,6 +180,10 @@ object Pipeline {
     // the hot-surface key before the sort-merge shuffle.
     val nSurfaces = timedStage("nSurfaces_count") { surfClusters.count() } // checkpointed → cheap metadata-ish scan
     val dictFits = nSurfaces <= saltedMembershipRows
+    // prototype/cluster cardinality ≤ nSurfaces — a MEASURED gate for
+    // broadcasting the compact prototype side into its two join-backs
+    // (plan capture showed checkpoint estimates sort-merging them)
+    val protosFit = nSurfaces <= BroadcastableAggRows
     // TWO INDEPENDENT materialization chains overlap here (guide
     // §2.6 — Spark happily runs concurrent jobs; the serial ordering
     // was only ever our driver code): memberships → resolved
@@ -229,7 +233,8 @@ object Pipeline {
         (Await.result(fMem, Duration.Inf), resolved, se, fit,
           Await.result(fProto, Duration.Inf))
       }
-    val triples = SuperEdges.namedTriples(superEdges, prototypes)
+    val triples = SuperEdges.namedTriples(superEdges, prototypes,
+      broadcastNames = protosFit)
 
     // event coreference runs AFTER entity clustering (argument
     // identity is cluster-level) — lazy plans over checkpointed
@@ -269,7 +274,8 @@ object Pipeline {
       Justifications.informativeJustificationsFrom(annotated)
     val clusterLinks = Justifications.clusterLinksFrom(annotated)
     val protoJustifications =
-      Justifications.prototypeJustificationsFrom(annotated, prototypes)
+      Justifications.prototypeJustificationsFrom(annotated, prototypes,
+        broadcastProtos = protosFit)
     val superEdgeJustifications =
       Justifications.superEdgeJustificationsFromResolved(resolvedStmts)
 

@@ -115,15 +115,23 @@ object Justifications {
       mentions: Dataset[Mention], prototypes: Dataset[Prototype]): DataFrame =
     prototypeJustificationsFrom(annotatedMembers(memberships, mentions), prototypes)
 
-  /** [[prototypeJustifications]] over a precomputed [[annotatedMembers]]. */
+  /** [[prototypeJustifications]] over a precomputed [[annotatedMembers]].
+    * `broadcastProtos`: the prototype side is one row per cluster —
+    * callers that measured the cluster count under the broadcast gate
+    * set it so the member-scale annotated side never shuffles (plan
+    * capture showed Catalyst sort-merging 2.5M member rows against a
+    * 483-row prototype table off checkpoint estimates). */
   def prototypeJustificationsFrom(annotated: DataFrame,
-      prototypes: Dataset[Prototype]): DataFrame =
+      prototypes: Dataset[Prototype],
+      broadcastProtos: Boolean = false): DataFrame = {
+    val p = prototypes.toDF().select(col("cluster_id"), col("prototype_id"))
     annotated
-      .join(prototypes.toDF().select(col("cluster_id"), col("prototype_id")),
+      .join(if (broadcastProtos) broadcast(p) else p,
         "cluster_id")
       .select(col("prototype_id"), col("cluster_id"), col("member_id"),
         col("conv_id"), col("turn_idx"), col("start_off"), col("end_off"),
         col("conf"))
+  }
 
   /** Prototype INFORMATIVE justification copy-back — `proto_inf_just`
     * (update_kg/sparqls.py:413-430): the per-(cluster, doc) best

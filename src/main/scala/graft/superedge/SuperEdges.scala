@@ -105,13 +105,18 @@ object SuperEdges {
     * are content hashes; the reference's are random —
     * update_kg/Updater.py:156-158 — so parity is by content,
     * SURVEY.md §5.1). */
-  def namedTriples(superEdges: Dataset[SuperEdge], prototypes: Dataset[Prototype]): Dataset[Triple] = {
+  def namedTriples(superEdges: Dataset[SuperEdge], prototypes: Dataset[Prototype],
+      broadcastNames: Boolean = false): Dataset[Triple] = {
     val spark = superEdges.sparkSession
     import spark.implicits._
-    // no forced broadcast: prototype cardinality = cluster count, which
-    // can exceed the broadcast threshold at contract scale — Catalyst +
-    // AQE pick broadcast automatically when the side is actually small
-    val names = prototypes.toDF().select(col("cluster_id"), col("name"))
+    // `broadcastNames`: prototype cardinality = cluster count, which
+    // can exceed the broadcast threshold at contract scale, and
+    // checkpoint-descended estimates are unusable in both directions —
+    // plan capture (plans/r06) showed Catalyst sort-merging this join
+    // against a 483-row prototype table. Callers that MEASURED the
+    // cluster count (Pipeline gates on nSurfaces) broadcast explicitly.
+    val names0 = prototypes.toDF().select(col("cluster_id"), col("name"))
+    val names = if (broadcastNames) broadcast(names0) else names0
     superEdges.toDF()
       .join(names.withColumnRenamed("cluster_id", "subj_proto")
         .withColumnRenamed("name", "subj"), Seq("subj_proto"))
