@@ -106,13 +106,19 @@ object Canonicalizer {
       broadcastDict: Boolean = true): Dataset[Prototype] = {
     val spark = mentions.sparkSession
     import spark.implicits._
+    // prototype_id and kind are CONSTANT within a cluster (both ride
+    // the dictionary row), so they are aggregated, not grouped —
+    // the mention-scale hash aggregation hashes 4 key strings per row
+    // instead of 6 (round 6; identical groups either way)
     val attrCnt = mentions.toDF()
       .join(dict(surfClusters,
         Seq(col("cluster_id"), col("prototype_id"), col("kind").as("s_kind")),
         broadcastDict), dictCond)
-      .groupBy(col("cluster_id"), col("prototype_id"), col("s_kind"),
+      .groupBy(col("cluster_id"),
         col("name"), col("etype"), col("link_target"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("prototype_id")).as("prototype_id"),
+        max(col("s_kind")).as("s_kind"))
     val unpivoted = attrCnt.select(
       col("cluster_id"), col("prototype_id"), col("s_kind"), col("cnt"),
       explode(array(
