@@ -193,6 +193,44 @@ object GraftExpressions {
     (nBigrams, nDup)
   }
 
+  /** Stopword-heuristic language ID — bit-parity with the Column
+    * formulation in [[graft.ops.TextStats.langId]]: per language, the
+    * non-overlapping left-to-right occurrence count of four padded
+    * stopword needles in " "+lower(text)+" " (exactly what the
+    * length-minus-replace chain counted); winner = max score with ties
+    * to the lexicographically greatest language code (the
+    * greatest(struct(score, lang)) rule), 'en' when all scores are 0.
+    * One scan per needle with zero string allocation — the Column tree
+    * allocated 16 intermediate strings per row. */
+  private val langNeedles: Array[(String, Array[String])] = Array(
+    "de" -> Array(" der ", " und ", " die ", " nicht "),
+    "en" -> Array(" the ", " and ", " of ", " to "),
+    "es" -> Array(" el ", " que ", " los ", " una "),
+    "fr" -> Array(" le ", " la ", " et ", " les "))
+
+  private[functions] def langId(text: UTF8String): UTF8String = {
+    val p = " " + text.toLowerCase.toString + " "
+    var bestLang: String = null
+    var bestScore = -1L
+    var i = 0
+    while (i < langNeedles.length) {
+      val (lang, needles) = langNeedles(i)
+      var s = 0L
+      var j = 0
+      while (j < needles.length) {
+        val n = needles(j)
+        var idx = p.indexOf(n)
+        while (idx >= 0) { s += 1; idx = p.indexOf(n, idx + n.length) }
+        j += 1
+      }
+      if (s > bestScore || (s == bestScore && lang.compareTo(bestLang) > 0)) {
+        bestScore = s; bestLang = lang
+      }
+      i += 1
+    }
+    UTF8String.fromString(if (bestScore == 0L) "en" else bestLang)
+  }
+
   private[functions] def toDouble(a: ArrayData, et: DataType, i: Int): Double = et match {
     case FloatType => a.getFloat(i).toDouble
     case DoubleType => a.getDouble(i)
@@ -302,6 +340,17 @@ case class Shingles64Expr(child: Expression, k: Int)
   override protected def nullSafeEval(input: Any): Any =
     GraftExpressions.shingles64(input.asInstanceOf[UTF8String], k)
   override protected def withNewChildInternal(newChild: Expression): Shingles64Expr =
+    copy(child = newChild)
+}
+
+/** graft_langid(text) → string (see [[GraftExpressions.langId]]). */
+case class LangIdExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_langid"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExpressions.langId(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
     copy(child = newChild)
 }
 

@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Jaccard64Expr].getName, "graft_jaccard64"),
       (args: Seq[Expression]) => Jaccard64Expr(args.head, args(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_langid"),
+      new ExpressionInfo(classOf[LangIdExpr].getName, "graft_langid"),
+      (args: Seq[Expression]) => LangIdExpr(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bigram_stats"),
       new ExpressionInfo(classOf[BigramStatsExpr].getName, "graft_bigram_stats"),
       (args: Seq[Expression]) => BigramStatsExpr(args.head)))

@@ -56,8 +56,18 @@ object TextStats {
     ((length(c) - length(replace(c, lit(needle), lit("")))) / lit(needle.length)).cast("long")
 
   /** N-gram/stopword-heuristic language ID: score = padded stopword
-    * hit count per language; argmax with 'en' fallback on all-zero. */
-  def langId(docs: DataFrame): DataFrame = {
+    * hit count per language; argmax with 'en' fallback on all-zero.
+    * ONE native kernel call per row (graft_langid, round 6): the
+    * length-minus-replace chain allocated 16 intermediate strings per
+    * row; the kernel counts the same non-overlapping occurrences with
+    * zero allocation. Values identical (parity test + oracle). */
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      call_function("graft_langid", col("text")).as("pred_lang"))
+
+  /** The pre-round-6 Column formulation of [[langId]] — retained as
+    * the parity comparator for the kernel (OpsSpec). */
+  private[graft] def langIdColumnar(docs: DataFrame): DataFrame = {
     val padded = concat(lit(" "), lower(col("text")), lit(" "))
     val scores = langStopwords.toSeq.sortBy(_._1).map { case (lang, needles) =>
       val s = needles.map(occurrences(padded, _)).reduce(_ + _)

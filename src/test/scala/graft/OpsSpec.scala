@@ -586,6 +586,27 @@ class OpsSpec extends AnyFunSuite {
     assert(!out("badjpg").ok && out("badjpg").error != null)
   }
 
+  test("langid native kernel matches the Column formulation on the testdata corpus") {
+    // the round-6 graft_langid kernel replaced the 16-replace chain —
+    // pin equality on the real sf0.001 documents plus tie/zero cases
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val edge = spark.createDataFrame(Seq(
+      (9001L, ""),                    // all-zero → en
+      (9002L, "le der"),              // needles need both pads; still 0 → en
+      (9003L, " la et the and "),     // en vs fr tie (2 each) → max lang: fr
+      (9004L, "und und und der die"), // de
+      (9005L, "the the the the the the"))) // overlap-free repeat counting
+      .toDF("doc_id", "text")
+    for (d <- Seq(real, edge)) {
+      val kernel = graft.ops.TextStats.langId(d)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val columnar = graft.ops.TextStats.langIdColumnar(d)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(kernel == columnar)
+    }
+  }
+
   test("langid picks the stopword-dominant language") {
     val d = spark.createDataFrame(Seq(
       (1L, "the cat and the dog went to the market of the town"),
