@@ -20,6 +20,12 @@ import graft.schema.{Membership, Prototype, Statement, SuperEdge, Triple}
  */
 object SuperEdges {
 
+  /** The denormalized argument surface-key columns Statement carries
+    * for the dictionary-resolution path — dropped from the resolved
+    * frame either way (downstream consumers never read them). */
+  private val SurfaceCols = Seq("subj_etype", "subj_norm", "subj_link",
+    "obj_etype", "obj_norm", "obj_link")
+
   /** Statements with BOTH argument memberships resolved — the shared
     * precursor of superedges, relation clusters and superedge
     * justifications (all three need exactly this join; callers that
@@ -36,9 +42,6 @@ object SuperEdges {
     * contract scale it's a straight driver OOM). The merge hint pins
     * the always-safe spillable shuffle join on mention_id — unique per
     * membership row, so 1:1 and skew-free. */
-  private val SurfaceCols = Seq("subj_etype", "subj_norm", "subj_link",
-    "obj_etype", "obj_norm", "obj_link")
-
   def resolvedStatements(statements: Dataset[Statement],
       memberships: Dataset[Membership]): DataFrame = {
     val m = memberships.toDF()
